@@ -1,0 +1,48 @@
+"""pyro_tpu: a TPU-native probabilistic programming framework.
+
+From-scratch JAX/XLA implementation with the capabilities of pyro-ppl/pyro
+(reference mounted read-only; see SURVEY.md).  The effect-handler runtime is
+trace-time pure — handlers compose under ``jit``/``vmap`` — with explicit
+PRNG keys, functional parameter pytrees, ``lax.associative_scan`` sequence
+models, and ``jax.sharding`` meshes for multi-chip inference.
+"""
+
+from . import distributions, infer, optim, poutine
+from .params.param_store import clear_param_store, get_param_store
+from .poutine.runtime import set_rng_seed
+from .primitives import (
+    barrier,
+    deterministic,
+    enable_validation,
+    factor,
+    module,
+    param,
+    plate,
+    sample,
+    subsample,
+    validation_enabled,
+)
+from .poutine.plate_messenger import plate_stack
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "barrier",
+    "clear_param_store",
+    "deterministic",
+    "distributions",
+    "enable_validation",
+    "factor",
+    "get_param_store",
+    "infer",
+    "module",
+    "optim",
+    "param",
+    "plate",
+    "plate_stack",
+    "poutine",
+    "sample",
+    "set_rng_seed",
+    "subsample",
+    "validation_enabled",
+]

@@ -1,0 +1,174 @@
+"""Stochastic variational inference.
+
+Ref ``pyro/infer/svi.py:16`` (``step:134``).  The reference's step is:
+trace params → loss_and_grads (autograd) → per-param torch optimizers →
+zero_grads.  TPU-native step: the surrogate loss is a *pure function* of the
+unconstrained param pytree, compiled once with ``jax.jit`` (gradients via
+``jax.value_and_grad``); the optimizer update happens inside the same XLA
+program, so one SVI step is a single device launch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import poutine
+from ..params.param_store import get_param_store
+from ..poutine.messenger import Messenger
+
+
+class _MissingParam(Exception):
+    def __init__(self, name: str):
+        super().__init__(name)
+        self.name = name
+
+
+class ParamsMessenger(Messenger):
+    """Override param sites from a live unconstrained pytree, making model
+    execution a pure function of it."""
+
+    def __init__(self, unconstrained: Dict[str, Any], store=None):
+        super().__init__()
+        self.unconstrained = unconstrained
+        self.store = store or get_param_store()
+
+    def _pyro_param(self, msg):
+        name = msg["name"]
+        if name not in self.unconstrained:
+            raise _MissingParam(name)
+        constrained = self.store.constrain(name, self.unconstrained[name])
+        msg["value"] = constrained
+        msg["done"] = True
+
+
+class SVI:
+    """Ref ``svi.py:16``."""
+
+    def __init__(
+        self,
+        model: Callable,
+        guide: Callable,
+        optim,
+        loss,
+        loss_and_grads=None,
+        num_samples: int = 0,
+        num_steps: int = 0,
+        **kwargs,
+    ):
+        self.model = model
+        self.guide = guide
+        self.optim = optim
+        self.loss_obj = loss
+        self.num_samples = num_samples
+        self._opt_state: Optional[Dict[str, Any]] = None
+        self._update_fn = None
+        self._param_names: Optional[tuple] = None
+        self._rng_key = jax.random.key(0)
+        self._initialized = False
+
+    def _next_key(self, rng_key=None):
+        if rng_key is not None:
+            return rng_key
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
+    # -- initialization ---------------------------------------------------------
+    def _init(self, rng_key, args, kwargs) -> None:
+        """Eagerly run one loss evaluation to (a) register all params in the
+        store, (b) fix max_plate_nesting, (c) init optimizer state."""
+        self.loss_obj._setup(self.model, self.guide, args, kwargs)
+        self.loss_obj.loss(
+            self.model, self.guide, *args, rng_key=rng_key, **kwargs
+        )
+        store = get_param_store()
+        params = store.get_all_unconstrained()
+        if self._opt_state is None:
+            self._opt_state = self.optim.init(params)
+        else:
+            for name, value in params.items():
+                if name not in self._opt_state:
+                    self._opt_state[name] = self.optim._resolve(name).init(
+                        value
+                    )
+        self._param_names = tuple(sorted(params))
+        self._build_update_fn()
+        self._initialized = True
+
+    def _build_update_fn(self) -> None:
+        store = get_param_store()
+        model, guide, elbo, optim = (
+            self.model,
+            self.guide,
+            self.loss_obj,
+            self.optim,
+        )
+
+        def loss_fn(unconstrained, rng_key, args, kwargs):
+            with ParamsMessenger(unconstrained, store):
+                return elbo.differentiable_loss(
+                    model, guide, *args, rng_key=rng_key, **kwargs
+                )
+
+        def update(params, opt_state, rng_key, args, kwargs):
+            loss_val, grads = jax.value_and_grad(loss_fn)(
+                params, rng_key, args, kwargs
+            )
+            new_params, new_opt_state = optim.update(grads, opt_state, params)
+            return loss_val, new_params, new_opt_state
+
+        self._update_fn = jax.jit(update)
+        self._loss_fn = jax.jit(loss_fn)
+
+    # -- public API ---------------------------------------------------------------
+    def step(self, *args, rng_key=None, **kwargs) -> float:
+        """One optimization step; returns the loss estimate as a float
+        (ref ``svi.py:134``)."""
+        key = self._next_key(rng_key)
+        store = get_param_store()
+        if not self._initialized:
+            self._init(key, args, kwargs)
+        params = store.get_all_unconstrained()
+        if tuple(sorted(params)) != self._param_names:
+            # params appeared/disappeared since compile: re-init lazily
+            self._init(key, args, kwargs)
+            params = store.get_all_unconstrained()
+        try:
+            loss_val, new_params, self._opt_state = self._update_fn(
+                params, self._opt_state, key, args, kwargs
+            )
+        except _MissingParam:
+            # a param site materialized only under this step's control flow
+            self._init(key, args, kwargs)
+            params = store.get_all_unconstrained()
+            loss_val, new_params, self._opt_state = self._update_fn(
+                params, self._opt_state, key, args, kwargs
+            )
+        store.set_all_unconstrained(new_params)
+        return float(jax.device_get(loss_val))
+
+    def evaluate_loss(self, *args, rng_key=None, **kwargs) -> float:
+        """Loss without an optimization step (ref ``svi.py:108``)."""
+        key = self._next_key(rng_key)
+        store = get_param_store()
+        if not self._initialized:
+            self._init(key, args, kwargs)
+        params = store.get_all_unconstrained()
+        try:
+            loss_val = self._loss_fn(params, key, args, kwargs)
+        except _MissingParam:
+            self._init(key, args, kwargs)
+            params = store.get_all_unconstrained()
+            loss_val = self._loss_fn(params, key, args, kwargs)
+        return float(jax.device_get(loss_val))
+
+    def run(self, *args, num_steps=None, **kwargs):
+        """Convenience loop (deprecated in the reference, ``svi.py:84``)."""
+        num_steps = num_steps or 1000
+        losses = []
+        for _ in range(num_steps):
+            losses.append(self.step(*args, **kwargs))
+        return losses

@@ -1,0 +1,86 @@
+"""Effect-handler library (capabilities of ``pyro.poutine``).
+
+Public handler list parity target: ``/root/reference/pyro/poutine/__init__.py:31-57``.
+"""
+
+from .handlers import (
+    BlockMessenger,
+    ConditionMessenger,
+    DoMessenger,
+    EscapeMessenger,
+    InferConfigMessenger,
+    LiftMessenger,
+    MaskMessenger,
+    ReplayMessenger,
+    ScaleMessenger,
+    SeedMessenger,
+    SubstituteMessenger,
+    TraceHandler,
+    TraceMessenger,
+    UnconditionMessenger,
+    block,
+    condition,
+    do,
+    escape,
+    infer_config,
+    lift,
+    mask,
+    replay,
+    scale,
+    seed,
+    substitute,
+    trace,
+    uncondition,
+)
+from .messenger import Messenger, block_messengers
+from .plate_messenger import PlateMessenger, plate_stack
+from .runtime import (
+    _DIM_ALLOCATOR,
+    _ENUM_ALLOCATOR,
+    _PYRO_STACK,
+    CondIndepStackFrame,
+    NonlocalExit,
+    am_i_wrapped,
+    apply_stack,
+    effectful,
+    get_mask,
+    get_plates,
+)
+from .trace_struct import Trace
+from .util import prune_subsample_sites, site_is_factor, site_is_subsample
+
+plate = PlateMessenger
+
+__all__ = [
+    "CondIndepStackFrame",
+    "Messenger",
+    "NonlocalExit",
+    "PlateMessenger",
+    "Trace",
+    "TraceHandler",
+    "TraceMessenger",
+    "am_i_wrapped",
+    "apply_stack",
+    "block",
+    "block_messengers",
+    "condition",
+    "do",
+    "effectful",
+    "escape",
+    "get_mask",
+    "get_plates",
+    "infer_config",
+    "lift",
+    "mask",
+    "plate",
+    "plate_stack",
+    "prune_subsample_sites",
+    "replay",
+    "scale",
+    "seed",
+    "site_is_factor",
+    "site_is_subsample",
+    "substitute",
+    "trace",
+    "uncondition",
+]

@@ -1,0 +1,437 @@
+"""Core effect handlers.
+
+Ref ``pyro/poutine/handlers.py`` (the ~25 public handlers listed at
+``pyro/poutine/__init__.py:31-57``).  Each Messenger is both a context
+manager and (via ``_make_handler``) a dual-use function:
+``trace(fn)(*args)`` or ``with trace() as t: ...``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .messenger import Messenger
+from .runtime import NonlocalExit, apply_stack, default_site_key
+from .trace_struct import Trace
+
+
+class TraceMessenger(Messenger):
+    """Record all sites into a Trace (ref ``trace_messenger.py``)."""
+
+    def __init__(self, graph_type: str = "flat", param_only: bool = False):
+        super().__init__()
+        self.graph_type = graph_type
+        self.param_only = param_only
+        self.trace = Trace(graph_type)
+
+    def __enter__(self):
+        self.trace = Trace(self.graph_type)
+        return super().__enter__()
+
+    def __exit__(self, *args, **kwargs):
+        if args[0] is not None and isinstance(args[1], NonlocalExit):
+            args[1].site["value"] = None
+        return super().__exit__(*args, **kwargs)
+
+    def get_trace(self) -> Trace:
+        return self.trace
+
+    def _postprocess_message(self, msg):
+        if msg["type"] in ("sample", "param") and (
+            not self.param_only or msg["type"] == "param"
+        ):
+            site = dict(msg)
+            site.pop("continuation", None)
+            self.trace.add_node(msg["name"], **site)
+
+
+class TraceHandler:
+    """Callable wrapper returned by ``trace(fn)`` with ``get_trace``
+    (ref ``trace_messenger.py:TraceHandler``)."""
+
+    def __init__(self, msngr: TraceMessenger, fn: Callable):
+        self.msngr = msngr
+        self.fn = fn
+        functools.update_wrapper(self, fn, updated=[])
+
+    def __call__(self, *args, **kwargs):
+        with self.msngr:
+            return self.fn(*args, **kwargs)
+
+    def get_trace(self, *args, **kwargs) -> Trace:
+        self(*args, **kwargs)
+        return self.msngr.get_trace()
+
+    @property
+    def trace(self) -> Trace:
+        return self.msngr.get_trace()
+
+
+class ReplayMessenger(Messenger):
+    """Force sample values from a previous trace or a flat dict
+    (ref ``replay_messenger.py``)."""
+
+    def __init__(self, trace: Optional[Trace] = None, params: Optional[dict] = None):
+        super().__init__()
+        if trace is None and params is None:
+            raise ValueError("must provide trace or params to replay against")
+        self.trace = trace
+        self.params = params
+
+    def _pyro_sample(self, msg):
+        name = msg["name"]
+        if self.trace is not None and name in self.trace:
+            guide_msg = self.trace.nodes[name]
+            if msg["is_observed"]:
+                return
+            if guide_msg["type"] != "sample" or guide_msg["is_observed"]:
+                raise RuntimeError(f"site {name} must be sampled in trace")
+            msg["done"] = True
+            msg["value"] = guide_msg["value"]
+            msg["infer"] = guide_msg["infer"]
+
+    def _pyro_param(self, msg):
+        name = msg["name"]
+        if self.params is not None and name in self.params:
+            msg["done"] = True
+            msg["value"] = self.params[name]
+
+
+class ConditionMessenger(Messenger):
+    """Fix the value of sample sites as observed (ref
+    ``condition_messenger.py``)."""
+
+    def __init__(self, data: Union[Dict[str, Any], Trace]):
+        super().__init__()
+        self.data = data
+
+    def _pyro_sample(self, msg):
+        name = msg["name"]
+        if isinstance(self.data, Trace):
+            if name in self.data:
+                msg["value"] = self.data.nodes[name]["value"]
+                msg["is_observed"] = msg["value"] is not None
+                msg["done"] = msg["value"] is not None
+        elif name in self.data:
+            value = self.data[name]
+            if value is not None:
+                msg["value"] = value
+                msg["is_observed"] = True
+                msg["done"] = True
+
+
+class UnconditionMessenger(Messenger):
+    """Strip observations so the model samples everything (ref
+    ``uncondition_messenger.py``)."""
+
+    def _pyro_sample(self, msg):
+        if msg["is_observed"]:
+            msg["is_observed"] = False
+            msg["infer"] = dict(msg["infer"])
+            msg["infer"]["was_observed"] = True
+            msg["infer"]["obs"] = msg["value"]
+            msg["value"] = None
+            msg["done"] = False
+
+
+class SubstituteMessenger(Messenger):
+    """Substitute values for param sites (ref ``substitute_messenger.py``)."""
+
+    def __init__(self, data: Dict[str, Any]):
+        super().__init__()
+        self.data = data
+        self._data_cache: Dict[str, Any] = {}
+
+    def _pyro_param(self, msg):
+        name = msg["name"]
+        if name in self.data:
+            msg["value"] = self.data[name]
+            msg["done"] = True
+
+
+class SeedMessenger(Messenger):
+    """Supply deterministic per-site PRNG keys.
+
+    TPU-native replacement for the reference's reliance on the global torch
+    RNG (``seed_messenger.py`` only sets a seed temporarily).  Each sample
+    site gets ``fold_in(base_key, hash(site_name))`` so that adding or
+    reordering sites does not perturb other sites' draws, and a per-call
+    counter distinguishes repeated unnamed draws.
+    """
+
+    def __init__(
+        self,
+        rng_seed: Union[int, jax.Array, None] = None,
+        rng_key: Optional[jax.Array] = None,
+    ):
+        super().__init__()
+        if rng_key is not None:
+            rng_seed = rng_key
+        if rng_seed is None:
+            raise ValueError("seed requires rng_seed or rng_key")
+        if isinstance(rng_seed, int):
+            rng_seed = jax.random.key(rng_seed)
+        # accept raw uint32 keys too
+        if hasattr(rng_seed, "dtype") and rng_seed.dtype == jnp.uint32:
+            rng_seed = jax.random.wrap_key_data(rng_seed)
+        self.rng_key = rng_seed
+        self._counts: Dict[str, int] = {}
+
+    def __enter__(self):
+        self._counts = {}
+        return super().__enter__()
+
+    def _pyro_sample(self, msg):
+        if msg["rng_key"] is None and not msg["is_observed"]:
+            name = msg["name"] or ""
+            count = self._counts.get(name, 0)
+            self._counts[name] = count + 1
+            key = default_site_key(name, self.rng_key)
+            if count:
+                key = jax.random.fold_in(key, count)
+            msg["rng_key"] = key
+
+
+
+
+class BlockMessenger(Messenger):
+    """Hide sites from handlers above this one (ref ``block_messenger.py``)."""
+
+    def __init__(
+        self,
+        hide_fn: Optional[Callable] = None,
+        expose_fn: Optional[Callable] = None,
+        hide_all: bool = True,
+        expose_all: bool = False,
+        hide=None,
+        expose=None,
+        hide_types=None,
+        expose_types=None,
+    ):
+        super().__init__()
+        if not (hide_fn is None or expose_fn is None):
+            raise ValueError("only specify one of hide_fn or expose_fn")
+        if hide_fn is not None:
+            self.hide_fn = hide_fn
+        elif expose_fn is not None:
+            self.hide_fn = lambda msg: not expose_fn(msg)
+        else:
+            self.hide_fn = _make_default_hide_fn(
+                hide_all, expose_all, hide, expose, hide_types, expose_types
+            )
+
+    def _process_message(self, msg):
+        msg["stop"] = bool(self.hide_fn(msg))
+
+
+def _make_default_hide_fn(
+    hide_all, expose_all, hide, expose, hide_types, expose_types
+):
+    # Ref `block_messenger.py:24-74` precedence rules.
+    if hide is None and expose is None and hide_types is None and expose_types is None:
+        hide, expose, hide_types, expose_types = [], [], [], []
+        if hide_all == expose_all:
+            hide_all = True
+            expose_all = False
+    else:
+        if hide is not None or hide_types is not None:
+            hide_all = False
+        if expose is not None or expose_types is not None:
+            hide_all = True
+        hide = hide or []
+        expose = expose or []
+        hide_types = hide_types or []
+        expose_types = expose_types or []
+
+    def hide_fn(msg):
+        if msg["name"] in hide:
+            return True
+        if msg["name"] in expose:
+            return False
+        if msg["type"] in hide_types:
+            return True
+        if msg["type"] in expose_types:
+            return False
+        return hide_all
+
+    return hide_fn
+
+
+class MaskMessenger(Messenger):
+    """AND a boolean mask into enclosed sample sites
+    (ref ``mask_messenger.py``)."""
+
+    def __init__(self, mask):
+        super().__init__()
+        self.mask = mask
+
+    def _process_message(self, msg):
+        if msg["type"] in ("sample", "inspect"):
+            cur = msg["mask"]
+            if cur is None:
+                msg["mask"] = self.mask
+            elif isinstance(cur, bool) and isinstance(self.mask, bool):
+                msg["mask"] = cur and self.mask
+            else:
+                msg["mask"] = cur & self.mask
+
+
+class ScaleMessenger(Messenger):
+    """Multiply log-prob scale (ref ``scale_messenger.py``)."""
+
+    def __init__(self, scale):
+        super().__init__()
+        self.scale = scale
+
+    def _process_message(self, msg):
+        msg["scale"] = self.scale * msg["scale"]
+
+
+class DoMessenger(Messenger):
+    """Causal intervention: sever a site and fix its value
+    (ref ``do_messenger.py``)."""
+
+    def __init__(self, data: Dict[str, Any]):
+        super().__init__()
+        self.data = data
+        self._intervener_id = str(id(self))
+
+    def _pyro_sample(self, msg):
+        name = msg["name"]
+        if (
+            name in self.data
+            and msg["infer"].get("_intervener_id") != self._intervener_id
+        ):
+            if msg["infer"].get("_intervener_id") is None and msg["is_observed"]:
+                # split: record original observation under a new name
+                new_msg = dict(msg)
+                new_msg["name"] = name + "__CF"
+                new_msg["infer"] = dict(msg["infer"])
+                new_msg["infer"]["_intervener_id"] = self._intervener_id
+                apply_stack(new_msg)
+            msg["infer"] = dict(msg["infer"])
+            msg["infer"]["_intervener_id"] = self._intervener_id
+            intervention = self.data[name]
+            msg["value"] = intervention
+            msg["is_observed"] = True
+            msg["stop"] = True
+            msg["done"] = True
+
+
+class LiftMessenger(Messenger):
+    """Lift ``param`` sites to ``sample`` sites under a prior
+    (ref ``lift_messenger.py``)."""
+
+    def __init__(self, prior):
+        super().__init__()
+        self.prior = prior
+        self._samples_cache: Dict[str, Any] = {}
+
+    def __enter__(self):
+        self._samples_cache = {}
+        return super().__enter__()
+
+    def _pyro_param(self, msg):
+        from ..distributions.distribution import Distribution
+
+        name = msg["name"]
+        if isinstance(self.prior, dict):
+            if name not in self.prior:
+                return
+            fn = self.prior[name]
+        else:
+            fn = self.prior
+        if name in self._samples_cache:
+            msg["value"] = self._samples_cache[name]["value"]
+            msg["done"] = True
+            return
+        msg["type"] = "sample"
+        if isinstance(fn, Distribution):
+            msg["fn"] = fn
+            msg["args"] = ()
+            msg["kwargs"] = {}
+            msg["infer"] = {}
+        else:
+            # callable prior: stochastic fn
+            msg["fn"] = fn
+            msg["args"] = msg["args"][1:]
+        msg["is_observed"] = False
+        self._samples_cache[name] = msg
+
+    def _pyro_post_param(self, msg):
+        pass
+
+
+class InferConfigMessenger(Messenger):
+    """Update each site's infer dict via a config function
+    (ref ``infer_config_messenger.py``)."""
+
+    def __init__(self, config_fn: Callable):
+        super().__init__()
+        self.config_fn = config_fn
+
+    def _pyro_sample(self, msg):
+        msg["infer"] = {**msg["infer"], **self.config_fn(msg)}
+
+    def _pyro_param(self, msg):
+        msg["infer"] = {**msg["infer"], **self.config_fn(msg)}
+
+
+class EscapeMessenger(Messenger):
+    """Raise NonlocalExit at the first site matching a predicate
+    (ref ``escape_messenger.py``)."""
+
+    _is_escape = True
+
+    def __init__(self, escape_fn: Callable):
+        super().__init__()
+        self.escape_fn = escape_fn
+
+    def _pyro_sample(self, msg):
+        if self.escape_fn(msg):
+            msg["done"] = True
+            msg["stop"] = True
+
+            def cont(m):
+                raise NonlocalExit(m)
+
+            msg["continuation"] = cont
+
+
+# -- dual-use API factory (ref ``handlers.py:_make_handler:110``) -------------
+
+
+def _make_handler(msngr_cls, name):
+    def handler(fn=None, *args, **kwargs):
+        if fn is not None and not callable(fn):
+            # called as `trace()` or with data-first convention
+            args = (fn,) + args
+            fn = None
+        msngr = msngr_cls(*args, **kwargs)
+        if fn is None:
+            return msngr
+        if msngr_cls is TraceMessenger:
+            return TraceHandler(msngr, fn)
+        return msngr(fn)
+
+    handler.__name__ = name
+    return handler
+
+
+trace = _make_handler(TraceMessenger, "trace")
+replay = _make_handler(ReplayMessenger, "replay")
+condition = _make_handler(ConditionMessenger, "condition")
+uncondition = _make_handler(UnconditionMessenger, "uncondition")
+substitute = _make_handler(SubstituteMessenger, "substitute")
+block = _make_handler(BlockMessenger, "block")
+mask = _make_handler(MaskMessenger, "mask")
+scale = _make_handler(ScaleMessenger, "scale")
+do = _make_handler(DoMessenger, "do")
+lift = _make_handler(LiftMessenger, "lift")
+infer_config = _make_handler(InferConfigMessenger, "infer_config")
+escape = _make_handler(EscapeMessenger, "escape")
+seed = _make_handler(SeedMessenger, "seed")

@@ -1,0 +1,152 @@
+"""Execution trace: an ordered map of site messages.
+
+Ref ``pyro/poutine/trace_struct.py:40``.  The reference stores a DAG of
+mutable Message dicts with memoized log-prob computation; here a ``Trace``
+is an ordered dict of site dicts whose array leaves are JAX values, so the
+whole structure can be produced inside a jitted function (site metadata is
+static per model structure; values are tracers).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Dict, Iterator, Optional
+
+import jax.numpy as jnp
+
+from ..distributions.score_parts import ScoreParts
+from ..distributions.util import scale_and_mask
+
+
+class Trace:
+    def __init__(self, graph_type: str = "flat") -> None:
+        assert graph_type in ("flat", "dense")
+        self.graph_type = graph_type
+        self.nodes: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
+
+    # -- container protocol -------------------------------------------------
+    def __contains__(self, name: str) -> bool:
+        return name in self.nodes
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self.nodes)
+
+    def __len__(self) -> int:
+        return len(self.nodes)
+
+    def __getitem__(self, name: str) -> Dict[str, Any]:
+        return self.nodes[name]
+
+    def add_node(self, site_name: str, **kwargs: Any) -> None:
+        """Ref ``trace_struct.py:121``."""
+        if site_name in self.nodes:
+            if kwargs["type"] != "param":
+                raise RuntimeError(
+                    f"Multiple {kwargs['type']} sites named '{site_name}'"
+                )
+        self.nodes[site_name] = kwargs
+
+    def copy(self) -> "Trace":
+        new = Trace(self.graph_type)
+        new.nodes = OrderedDict(
+            (name, dict(site)) for name, site in self.nodes.items()
+        )
+        return new
+
+    # -- log-prob machinery --------------------------------------------------
+    def compute_log_prob(self, site_filter=lambda name, site: True) -> None:
+        """Compute scaled+masked log_prob at each sample site.
+
+        Ref ``trace_struct.py:248-289``.  Stores both the raw
+        ``unscaled_log_prob`` and the scaled/masked ``log_prob`` plus the
+        reduced ``log_prob_sum``.
+        """
+        for name, site in self.nodes.items():
+            if site["type"] == "sample" and site_filter(name, site):
+                if "log_prob" in site:
+                    continue
+                lp = site["fn"].log_prob(
+                    site["value"], *site["args"], **_lp_kwargs(site)
+                )
+                site["unscaled_log_prob"] = lp
+                lp = scale_and_mask(lp, site["scale"], site["mask"])
+                site["log_prob"] = lp
+                site["log_prob_sum"] = jnp.sum(lp)
+
+    def log_prob_sum(self, site_filter=lambda name, site: True):
+        """Total log-density of the trace (ref ``trace_struct.py:203``)."""
+        result = 0.0
+        for name, site in self.nodes.items():
+            if site["type"] == "sample" and site_filter(name, site):
+                if "log_prob_sum" in site:
+                    result = result + site["log_prob_sum"]
+                else:
+                    lp = site["fn"].log_prob(site["value"])
+                    lp = scale_and_mask(lp, site["scale"], site["mask"])
+                    site["log_prob_sum"] = jnp.sum(lp)
+                    result = result + site["log_prob_sum"]
+        return jnp.asarray(result)
+
+    def compute_score_parts(self) -> None:
+        """Compute the surrogate-gradient decomposition at each site.
+
+        Ref ``trace_struct.py:290-330`` and ``score_parts.py:11``.
+        """
+        for name, site in self.nodes.items():
+            if site["type"] == "sample" and "score_parts" not in site:
+                parts = site["fn"].score_parts(
+                    site["value"], *site["args"], **_lp_kwargs(site)
+                )
+                site["unscaled_log_prob"] = parts.log_prob
+                parts = parts.scale_and_mask(site["scale"], site["mask"])
+                site["score_parts"] = parts
+                site["log_prob"] = parts.log_prob
+                site["log_prob_sum"] = jnp.sum(parts.log_prob)
+
+    # -- introspection -------------------------------------------------------
+    def stochastic_nodes(self):
+        return [
+            name
+            for name, site in self.nodes.items()
+            if site["type"] == "sample" and not site["is_observed"]
+        ]
+
+    def observation_nodes(self):
+        return [
+            name
+            for name, site in self.nodes.items()
+            if site["type"] == "sample" and site["is_observed"]
+        ]
+
+    def param_nodes(self):
+        return [n for n, s in self.nodes.items() if s["type"] == "param"]
+
+    def iter_stochastic_nodes(self):
+        for name, site in self.nodes.items():
+            if site["type"] == "sample" and not site["is_observed"]:
+                yield name, site
+
+    def format_shapes(self, title: str = "Trace Shapes:") -> str:
+        """Shape table for error messages (ref ``trace_struct.py:475``)."""
+        rows = [[title, None]]
+        for name, site in self.nodes.items():
+            if site["type"] == "param":
+                rows.append(
+                    [name, tuple(getattr(site["value"], "shape", ()))]
+                )
+            elif site["type"] == "sample":
+                fn = site["fn"]
+                rows.append([f"{name} dist", tuple(fn.shape())])
+                if site["value"] is not None:
+                    rows.append(
+                        [f"{name} value", tuple(site["value"].shape)]
+                    )
+        return "\n".join(
+            f"{r[0]:>30} {r[1] if r[1] is not None else ''}" for r in rows
+        )
+
+
+def _lp_kwargs(site: Dict[str, Any]) -> Dict[str, Any]:
+    # log_prob takes no extra kwargs in this framework; kept as a hook for
+    # parity with the reference's *args/**kwargs passthrough.
+    return {}

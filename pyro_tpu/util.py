@@ -1,0 +1,167 @@
+"""Validation and misc utilities (ref ``pyro/util.py``)."""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .poutine.util import site_is_subsample
+
+
+def set_rng_seed(rng_seed: int) -> None:
+    """Ref ``pyro/util.py:37``."""
+    from .poutine.runtime import set_rng_seed as _set
+
+    _set(rng_seed)
+
+
+def warn_if_nan(value, msg: str = ""):
+    """Eager NaN check (ref ``pyro/util.py:92``).  Works only outside jit;
+    inside jit use ``jax.debug`` tooling or checkify."""
+    if isinstance(value, jax.core.Tracer):
+        return value
+    if jnp.any(jnp.isnan(value)):
+        warnings.warn(f"Encountered NaN{': ' + msg if msg else '.'}")
+    return value
+
+
+def warn_if_inf(value, msg: str = "", allow_posinf=False, allow_neginf=False):
+    if isinstance(value, jax.core.Tracer):
+        return value
+    if not allow_posinf and jnp.any(value == jnp.inf):
+        warnings.warn(f"Encountered +inf{': ' + msg if msg else '.'}")
+    if not allow_neginf and jnp.any(value == -jnp.inf):
+        warnings.warn(f"Encountered -inf{': ' + msg if msg else '.'}")
+    return value
+
+
+def check_model_guide_match(model_trace, guide_trace, max_plate_nesting=None):
+    """Check shape/site agreement between model and guide.
+
+    Ref ``pyro/util.py:314-462``: guide must not have extra non-auxiliary
+    sites; shared sites must agree in shape; model-only sites are fine
+    (they are sampled from the prior).
+    """
+    # 1. guide sites should appear in model (unless auxiliary)
+    model_sites = {
+        name
+        for name, site in model_trace.nodes.items()
+        if site["type"] == "sample" and not site_is_subsample(site)
+    }
+    guide_sites = {
+        name
+        for name, site in guide_trace.nodes.items()
+        if site["type"] == "sample"
+        and not site_is_subsample(site)
+        and not site["infer"].get("is_auxiliary")
+        and not site["infer"].get("_deterministic")
+    }
+    extra = guide_sites - model_sites
+    if extra:
+        warnings.warn(
+            f"Found non-auxiliary vars in guide but not model: {extra}"
+        )
+    # 2. observed sites should not be in guide
+    observed = {
+        name
+        for name, site in model_trace.nodes.items()
+        if site["type"] == "sample" and site["is_observed"]
+    }
+    bad = observed & guide_sites
+    if bad:
+        warnings.warn(f"Found observed sites in guide: {bad}")
+    # 3. shape agreement
+    for name in model_sites & guide_sites:
+        model_site = model_trace.nodes[name]
+        guide_site = guide_trace.nodes[name]
+        model_shape = model_site["fn"].shape()
+        guide_shape = guide_site["fn"].shape()
+        if model_shape != guide_shape:
+            # allow broadcastable shapes
+            from .distributions.util import broadcast_shape
+
+            try:
+                broadcast_shape(model_shape, guide_shape)
+            except ValueError:
+                raise ValueError(
+                    f"Model and guide shapes disagree at site '{name}': "
+                    f"{model_shape} vs {guide_shape}"
+                )
+
+
+def check_site_shape(site, max_plate_nesting: int) -> None:
+    """Ref ``pyro/util.py:465``: log_prob shape must fit within declared
+    plate dims."""
+    if "log_prob" not in site:
+        return
+    actual_shape = list(site["log_prob"].shape)
+    expected_shape: list = []
+    for f in reversed(site["cond_indep_stack"]):
+        if f.dim is not None:
+            assert f.dim < 0
+            while len(expected_shape) < -f.dim:
+                expected_shape.append(None)
+            if expected_shape[-f.dim - 1] not in (None, f.subsample_size):
+                raise ValueError(
+                    f"at site '{site['name']}' plates {f.name} overlap at "
+                    f"dim {f.dim}"
+                )
+            expected_shape[-f.dim - 1] = f.subsample_size
+    expected_shape.reverse()
+    if len(actual_shape) > max_plate_nesting and max_plate_nesting >= 0:
+        pass  # enumeration dims allowed to the left
+    for dim in range(-1, -1 - len(expected_shape), -1):
+        if expected_shape[dim] is None:
+            continue
+        if len(actual_shape) < -dim or actual_shape[dim] not in (
+            1,
+            expected_shape[dim],
+        ):
+            raise ValueError(
+                f"at site '{site['name']}', invalid log_prob shape "
+                f"{tuple(actual_shape)}; expected dim {dim} to be "
+                f"{expected_shape[dim]} (declared by a plate) or 1.\n"
+                "Try one of:\n"
+                "  - enclosing the batched dim in a plate\n"
+                "  - .to_event(...) to treat it as an event dim"
+            )
+
+
+def timed():
+    import time
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _timed():
+        class Elapsed:
+            elapsed = 0.0
+
+        e = Elapsed()
+        start = time.monotonic()
+        try:
+            yield e
+        finally:
+            e.elapsed = time.monotonic() - start
+
+    return _timed()
+
+
+def ignore_jit_warnings():
+    from contextlib import nullcontext
+
+    return nullcontext()
+
+
+def optional(context, condition):
+    from contextlib import nullcontext
+
+    return context if condition else nullcontext()
+
+
+def deep_getattr(obj, name: str):
+    for part in name.split("."):
+        obj = getattr(obj, part)
+    return obj
