@@ -1,0 +1,228 @@
+"""Model → potential-function machinery for MCMC.
+
+Ref ``pyro/infer/mcmc/util.py:370`` (initialize_model, _PEMaker,
+_find_valid_initial_params).  The potential function is a pure map from a
+dict of *unconstrained* latents to -log joint density (with the change-of-
+variables Jacobian), compiled once by the kernel's jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ... import poutine
+from ...distributions import constraints
+from ...distributions.transforms import biject_to
+from ...poutine.util import prune_subsample_sites, site_is_subsample
+
+
+class ModelInfo(NamedTuple):
+    initial_params: Dict[str, jnp.ndarray]  # unconstrained
+    potential_fn: Callable
+    postprocess_fn: Callable  # unconstrained dict -> constrained dict (+deterministics)
+    prototype_trace: object
+    transforms: Dict[str, object]  # site -> biject_to(support)
+
+
+def _latent_sites(trace):
+    sites = {}
+    for name, site in trace.nodes.items():
+        if (
+            site["type"] == "sample"
+            and not site["is_observed"]
+            and not site_is_subsample(site)
+            and not site["infer"].get("_deterministic")
+        ):
+            sites[name] = site
+    return sites
+
+
+def get_potential_fn(
+    model,
+    model_args=(),
+    model_kwargs=None,
+    prototype_trace=None,
+    rng_key=None,
+):
+    model_kwargs = model_kwargs or {}
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    if prototype_trace is None:
+        prototype_trace = poutine.trace(
+            poutine.seed(model, rng_key=rng_key)
+        ).get_trace(*model_args, **model_kwargs)
+        prototype_trace = prune_subsample_sites(prototype_trace)
+    latents = _latent_sites(prototype_trace)
+    if not latents:
+        raise ValueError("model has no latent sample sites")
+    for name, site in latents.items():
+        if getattr(site["fn"], "is_discrete", False):
+            raise NotImplementedError(
+                f"site '{name}' is discrete; HMC/NUTS requires continuous "
+                "latents (enumerate discrete sites via TraceEnum machinery "
+                "or use config_enumerate + infer_discrete)"
+            )
+    transforms = {
+        name: biject_to(site["fn"].support) for name, site in latents.items()
+    }
+
+    def unconstrain(constrained: Dict) -> Dict:
+        return {
+            name: transforms[name].inv(value)
+            for name, value in constrained.items()
+        }
+
+    def constrain(unconstrained: Dict) -> Dict:
+        return {
+            name: transforms[name](value)
+            for name, value in unconstrained.items()
+        }
+
+    def potential_fn(z: Dict) -> jnp.ndarray:
+        """-log p(constrained(z), obs) - log|det J(z)|."""
+        constrained = constrain(z)
+        cond_model = poutine.condition(model, data=constrained)
+        trace = poutine.trace(cond_model).get_trace(
+            *model_args, **model_kwargs
+        )
+        trace = prune_subsample_sites(trace)
+        log_joint = trace.log_prob_sum(
+            site_filter=lambda name, site: not site["infer"].get(
+                "_deterministic"
+            )
+        )
+        for name, t in transforms.items():
+            ladj = t.log_abs_det_jacobian(z[name], constrained[name])
+            extra = (
+                jnp.ndim(ladj)
+                - (jnp.ndim(z[name]) - t.domain.event_dim)
+            )
+            # sum any remaining batch dims to a scalar
+            log_joint = log_joint + jnp.sum(ladj)
+        return -log_joint
+
+    def postprocess_fn(z: Dict, return_deterministic: bool = True) -> Dict:
+        constrained = constrain(z)
+        if return_deterministic:
+            det_sites = [
+                name
+                for name, site in prototype_trace.nodes.items()
+                if site["type"] == "sample"
+                and site["infer"].get("_deterministic")
+            ]
+            if det_sites:
+                tr = poutine.trace(
+                    poutine.condition(model, data=constrained)
+                ).get_trace(*model_args, **model_kwargs)
+                for name in det_sites:
+                    constrained[name] = tr.nodes[name]["value"]
+        return constrained
+
+    return potential_fn, postprocess_fn, transforms, prototype_trace, unconstrain
+
+
+def _find_valid_initial_params(
+    potential_fn,
+    prototype_unconstrained: Dict,
+    rng_key,
+    init_strategy: str = "uniform",
+    prior_sampler: Optional[Callable] = None,
+    radius: float = 2.0,
+    max_tries: int = 100,
+):
+    """Retry init draws until potential and grad are finite
+    (ref ``mcmc/util.py:325-368``).  Jittable: fixed-trial while_loop."""
+
+    flat_proto, unravel = jax.flatten_util.ravel_pytree(
+        prototype_unconstrained
+    )
+    n = flat_proto.shape[0]
+
+    def draw(key):
+        if init_strategy == "uniform":
+            return jax.random.uniform(
+                key, (n,), minval=-radius, maxval=radius
+            )
+        if init_strategy == "sample" and prior_sampler is not None:
+            return jax.flatten_util.ravel_pytree(prior_sampler(key))[0]
+        return jax.random.uniform(key, (n,), minval=-radius, maxval=radius)
+
+    def is_valid(flat):
+        z = unravel(flat)
+        pe, grad = jax.value_and_grad(potential_fn)(z)
+        gflat, _ = jax.flatten_util.ravel_pytree(grad)
+        return jnp.isfinite(pe) & jnp.all(jnp.isfinite(gflat))
+
+    def cond(state):
+        i, key, flat, ok = state
+        return (~ok) & (i < max_tries)
+
+    def body(state):
+        i, key, flat, ok = state
+        key, sub = jax.random.split(key)
+        flat_new = draw(sub)
+        ok_new = is_valid(flat_new)
+        return i + 1, key, flat_new, ok_new
+
+    key, sub = jax.random.split(rng_key)
+    flat0 = draw(sub)
+    state = (jnp.zeros((), jnp.int32), key, flat0, is_valid(flat0))
+    _, _, flat, ok = jax.lax.while_loop(cond, body, state)
+    return unravel(flat), ok
+
+
+def initialize_model(
+    model,
+    model_args=(),
+    model_kwargs=None,
+    init_strategy: str = "uniform",
+    init_params: Optional[Dict] = None,
+    rng_key=None,
+) -> ModelInfo:
+    """Ref ``mcmc/util.py:370-505``."""
+    model_kwargs = model_kwargs or {}
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    k_proto, k_init = jax.random.split(rng_key)
+    (
+        potential_fn,
+        postprocess_fn,
+        transforms,
+        prototype_trace,
+        unconstrain,
+    ) = get_potential_fn(model, model_args, model_kwargs, rng_key=k_proto)
+
+    latents = _latent_sites(prototype_trace)
+    proto_unconstrained = unconstrain(
+        {name: site["value"] for name, site in latents.items()}
+    )
+
+    if init_params is not None:
+        initial = init_params
+    else:
+
+        def prior_sampler(key):
+            tr = poutine.trace(
+                poutine.seed(model, rng_key=key)
+            ).get_trace(*model_args, **model_kwargs)
+            tr = prune_subsample_sites(tr)
+            return unconstrain(
+                {
+                    name: tr.nodes[name]["value"]
+                    for name in latents
+                }
+            )
+
+        initial, ok = _find_valid_initial_params(
+            potential_fn,
+            proto_unconstrained,
+            k_init,
+            init_strategy=init_strategy,
+            prior_sampler=prior_sampler if init_strategy == "sample" else None,
+        )
+    return ModelInfo(
+        initial, potential_fn, postprocess_fn, prototype_trace, transforms
+    )

@@ -1,0 +1,114 @@
+"""HMC/NUTS correctness tests (mirrors ``tests/infer/mcmc/test_hmc.py``,
+``test_nuts.py``: models with known posteriors)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyro_tpu as pyro
+import pyro_tpu.distributions as dist
+from pyro_tpu.infer.mcmc import HMC, MCMC, NUTS
+
+
+def run_mcmc(kernel_cls, model, args=(), num_samples=600, warmup=600, chains=2, **kw):
+    mcmc = MCMC(
+        kernel_cls(model, **kw),
+        num_samples=num_samples,
+        warmup_steps=warmup,
+        num_chains=chains,
+    )
+    mcmc.run(*args, rng_key=jax.random.key(0))
+    return mcmc
+
+
+@pytest.mark.parametrize("kernel_cls", [NUTS, HMC])
+def test_gaussian_target(kernel_cls):
+    """Sampling a correlated 2-D Gaussian recovers mean and covariance."""
+    loc = jnp.array([1.0, -2.0])
+    cov = jnp.array([[2.0, 0.9], [0.9, 1.0]])
+
+    def model():
+        pyro.sample("x", dist.MultivariateNormal(loc, covariance_matrix=cov))
+
+    mcmc = run_mcmc(kernel_cls, model)
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert np.allclose(x.mean(0), loc, atol=0.25)
+    assert np.allclose(np.cov(x.T), cov, atol=0.45)
+
+
+def test_beta_bernoulli_conjugate():
+    data = jnp.array([1.0, 1.0, 1.0, 0.0, 1.0, 0.0, 1.0, 1.0])
+
+    def model(data):
+        p = pyro.sample("p", dist.Beta(2.0, 2.0))
+        with pyro.plate("n", data.shape[0]):
+            pyro.sample("obs", dist.Bernoulli(probs=p), obs=data)
+
+    mcmc = run_mcmc(NUTS, model, (data,))
+    p = np.asarray(mcmc.get_samples()["p"])
+    post = dist.Beta(2.0 + 6, 2.0 + 2)
+    assert np.abs(p.mean() - float(post.mean)) < 0.03
+    assert np.abs(p.std() - float(np.sqrt(post.variance))) < 0.03
+    # support respected
+    assert (p > 0).all() and (p < 1).all()
+
+
+def test_eight_schools_noncentered():
+    y = jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def model(y, sigma):
+        mu = pyro.sample("mu", dist.Normal(0.0, 5.0))
+        tau = pyro.sample("tau", dist.HalfCauchy(5.0))
+        with pyro.plate("J", 8):
+            eta = pyro.sample("eta", dist.Normal(0.0, 1.0))
+            theta = pyro.deterministic("theta", mu + tau * eta)
+            pyro.sample("obs", dist.Normal(theta, sigma), obs=y)
+
+    mcmc = run_mcmc(NUTS, model, (y, sigma), num_samples=800, warmup=800)
+    s = mcmc.get_samples()
+    diag = mcmc.diagnostics()
+    # published posterior (e.g. Stan reference): mu ~ 4.4, tau ~ 3.6
+    assert np.abs(np.asarray(s["mu"]).mean() - 4.4) < 1.0
+    assert np.abs(np.asarray(s["tau"]).mean() - 3.6) < 1.2
+    assert float(np.asarray(diag["mu"]["r_hat"]).max()) < 1.1
+    # non-centered: few divergences
+    assert diag["divergences"]["total"] < 40
+    # deterministic site recorded
+    assert "theta" in s and s["theta"].shape[-1] == 8
+
+
+def test_interval_support_transform():
+    def model():
+        pyro.sample("u", dist.Uniform(-2.0, 5.0))
+
+    mcmc = run_mcmc(NUTS, model)
+    u = np.asarray(mcmc.get_samples()["u"])
+    assert (u > -2).all() and (u < 5).all()
+    assert np.abs(u.mean() - 1.5) < 0.3
+    assert np.abs(u.std() - 7 / np.sqrt(12)) < 0.25
+
+
+def test_vectorized_chains_shapes_and_ess():
+    def model():
+        pyro.sample("x", dist.Normal(0.0, 1.0))
+
+    mcmc = run_mcmc(NUTS, model, chains=4, num_samples=400, warmup=400)
+    grouped = mcmc.get_samples(group_by_chain=True)
+    assert grouped["x"].shape == (4, 400)
+    diag = mcmc.diagnostics()
+    assert np.asarray(diag["x"]["n_eff"]).max() > 400  # NUTS on iid normal
+    assert np.asarray(diag["x"]["r_hat"]).max() < 1.05
+
+
+def test_mass_matrix_adaptation_helps_scaling():
+    """Badly-scaled Gaussian: adaptation should recover both scales."""
+    scales = jnp.array([0.05, 20.0])
+
+    def model():
+        pyro.sample("x", dist.Normal(jnp.zeros(2), scales).to_event(1))
+
+    mcmc = run_mcmc(NUTS, model, num_samples=800, warmup=800)
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert np.allclose(x.std(0), np.asarray(scales), rtol=0.3)
