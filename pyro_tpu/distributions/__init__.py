@@ -39,6 +39,7 @@ from .discrete import (
     OneHotCategorical,
     Poisson,
 )
+from .hmm import DiscreteHMM, GaussianHMM
 from .distribution import (
     Distribution,
     ExpandedDistribution,
@@ -70,11 +71,13 @@ __all__ = [
     "Delta",
     "Dirichlet",
     "DirichletMultinomial",
+    "DiscreteHMM",
     "Distribution",
     "ExpandedDistribution",
     "Exponential",
     "Gamma",
     "GammaPoisson",
+    "GaussianHMM",
     "Geometric",
     "Gumbel",
     "HalfCauchy",

@@ -1,0 +1,325 @@
+"""Hidden Markov model distributions with O(log T) exact marginalization.
+
+Ref ``pyro/distributions/hmm.py``: ``DiscreteHMM:243``, ``GaussianHMM:434``
+(Särkkä & García-Fernández 2019 temporal parallelization).  Generative
+semantics match the reference exactly:
+
+    z ~ initial;  repeat T times:  z ~ trans(z);  emit y ~ obs(z)
+
+so ``event_shape = (T,) + observation event shape`` and homogeneous
+parameters broadcast along a size-1 time axis.
+
+TPU notes: time elimination for DiscreteHMM is a pairwise log-matmul-exp
+reduction — each round is one batched ``jnp.einsum`` that XLA tiles onto
+the MXU; GaussianHMM uses the info-form Gaussian algebra in
+``pyro_tpu.ops.gaussian``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from . import constraints
+from .discrete import Categorical
+from .distribution import Distribution
+from .util import broadcast_shape
+from ..ops.gaussian import (
+    Gaussian,
+    gaussian_tensordot,
+    matrix_and_mvn_to_gaussian,
+    mvn_to_gaussian,
+    sequential_gaussian_filter_sample,
+    sequential_gaussian_tensordot,
+)
+
+
+def _logmatmulexp(x, y):
+    """Numerically-stable batched log-space matmul: rides the MXU via a
+    regular matmul of shifted exponentials."""
+    x_shift = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+    y_shift = jax.lax.stop_gradient(jnp.max(y, axis=-2, keepdims=True))
+    x_shift = jnp.where(jnp.isfinite(x_shift), x_shift, 0.0)
+    y_shift = jnp.where(jnp.isfinite(y_shift), y_shift, 0.0)
+    xy = jnp.log(
+        jnp.clip(
+            jnp.einsum("...ik,...kj->...ij", jnp.exp(x - x_shift), jnp.exp(y - y_shift)),
+            jnp.finfo(x.dtype).tiny,
+        )
+    )
+    # x_shift: (..., n, 1) broadcasts over columns; y_shift: (..., 1, n)
+    # broadcasts over rows
+    return xy + x_shift + y_shift
+
+
+def _sequential_logmatmulexp(logits):
+    """Reduce a (..., T, S, S) chain of log transition factors to a single
+    (..., S, S) factor in ceil(log2 T) rounds (ref ``hmm.py:14``)."""
+    while logits.shape[-3] > 1:
+        time = logits.shape[-3]
+        even_time = time // 2 * 2
+        even_part = logits[..., :even_time, :, :]
+        x_y = even_part.reshape(
+            logits.shape[:-3] + (even_time // 2, 2) + logits.shape[-2:]
+        )
+        contracted = _logmatmulexp(x_y[..., 0, :, :], x_y[..., 1, :, :])
+        if time > even_time:
+            contracted = jnp.concatenate(
+                [contracted, logits[..., even_time:, :, :]], axis=-3
+            )
+        logits = contracted
+    return logits[..., 0, :, :]
+
+
+class HiddenMarkovModel(Distribution):
+    """Base with a time axis in event_shape (ref ``hmm.py:190``)."""
+
+    _abstract = True
+
+    def __init__(self, duration, batch_shape, event_shape):
+        if duration is None and event_shape[0] != 1:
+            duration = event_shape[0]
+        elif duration is not None and event_shape[0] == 1:
+            event_shape = (duration,) + tuple(event_shape[1:])
+        self._duration = duration
+        super().__init__(batch_shape, event_shape)
+
+    @property
+    def duration(self):
+        return self._duration
+
+
+class DiscreteHMM(HiddenMarkovModel):
+    """Ref ``hmm.py:243``."""
+
+    arg_constraints = {
+        "initial_logits": constraints.real,
+        "transition_logits": constraints.real,
+    }
+
+    def __init__(
+        self,
+        initial_logits,
+        transition_logits,
+        observation_dist,
+        duration=None,
+    ):
+        initial_logits = jnp.asarray(initial_logits)
+        transition_logits = jnp.asarray(transition_logits)
+        if initial_logits.ndim < 1:
+            raise ValueError("initial_logits needs at least 1 dim")
+        if transition_logits.ndim < 2:
+            raise ValueError("transition_logits needs at least 2 dims")
+        if len(observation_dist.batch_shape) < 1:
+            raise ValueError("observation_dist needs at least 1 batch dim")
+        shape = broadcast_shape(
+            initial_logits.shape[:-1] + (1,),
+            transition_logits.shape[:-2],
+            observation_dist.batch_shape[:-1],
+        )
+        batch_shape, time_shape = shape[:-1], shape[-1:]
+        event_shape = tuple(time_shape) + observation_dist.event_shape
+        self.initial_logits = initial_logits - logsumexp(
+            initial_logits, axis=-1, keepdims=True
+        )
+        self.transition_logits = transition_logits - logsumexp(
+            transition_logits, axis=-1, keepdims=True
+        )
+        self.observation_dist = observation_dist
+        super().__init__(duration, batch_shape, event_shape)
+
+    @property
+    def support(self):  # type: ignore[override]
+        return constraints.independent(self.observation_dist.support, 1)
+
+    def expand(self, batch_shape, _instance=None):
+        batch_shape = tuple(batch_shape)
+        new = object.__new__(DiscreteHMM)
+        new.initial_logits = jnp.broadcast_to(
+            self.initial_logits,
+            batch_shape + self.initial_logits.shape[-1:],
+        )
+        new.transition_logits = self.transition_logits
+        new.observation_dist = self.observation_dist
+        Distribution.__init__(new, batch_shape, self.event_shape)
+        new._duration = self._duration
+        new._pyro_init_args = self._pyro_init_args
+        return new
+
+    def log_prob(self, value):
+        # combine observation and transition factors (ref ``hmm.py:352``)
+        value = jnp.expand_dims(
+            value, -1 - self.observation_dist.event_dim
+        )
+        observation_logits = self.observation_dist.log_prob(value)
+        result = self.transition_logits + jnp.expand_dims(
+            observation_logits, -2
+        )
+        result = _sequential_logmatmulexp(result)
+        result = self.initial_logits + logsumexp(result, axis=-1)
+        return logsumexp(result, axis=-1)
+
+    def filter(self, value) -> Categorical:
+        """Posterior over the final state (ref ``hmm.py:371``)."""
+        value = jnp.expand_dims(
+            value, -1 - self.observation_dist.event_dim
+        )
+        observation_logits = self.observation_dist.log_prob(value)
+        logp = self.transition_logits + jnp.expand_dims(
+            observation_logits, -2
+        )
+        logp = _sequential_logmatmulexp(logp)
+        logp = logsumexp(
+            jnp.expand_dims(self.initial_logits, -1) + logp, axis=-2
+        )
+        return Categorical(logits=logp)
+
+    def sample(self, key, sample_shape=()):
+        assert self.duration is not None
+        T = self.duration
+        S = self.initial_logits.shape[-1]
+        k_init, k_trans, k_obs = jax.random.split(key, 3)
+        shape = tuple(sample_shape) + self.batch_shape
+        x0 = Categorical(
+            logits=jnp.broadcast_to(self.initial_logits, shape + (S,))
+        ).sample(k_init)
+        trans = jnp.broadcast_to(
+            self.transition_logits, shape + (T, S, S)
+        )
+        keys = jax.random.split(k_trans, T)
+
+        def step(x, inputs):
+            key_t, logits_t = inputs
+            # logits_t: shape + (S, S); pick row x
+            row = jnp.take_along_axis(
+                logits_t, x[..., None, None], axis=-2
+            )[..., 0, :]
+            x_new = Categorical(logits=row).sample(key_t)
+            return x_new, x_new
+
+        trans_t = jnp.moveaxis(trans, len(shape), 0)
+        _, xs = jax.lax.scan(step, x0, (keys, trans_t))
+        xs = jnp.moveaxis(xs, 0, len(shape))  # shape + (T,)
+        # sample observations for all states then gather
+        obs = self.observation_dist.expand(
+            self.batch_shape + (T, S)
+        ).sample(k_obs, sample_shape)
+        event_dim = self.observation_dist.event_dim
+        idx = xs.reshape(xs.shape + (1,) * (event_dim + 1))
+        gathered = jnp.take_along_axis(
+            obs, idx, axis=-1 - event_dim
+        )
+        return jnp.squeeze(gathered, axis=-1 - event_dim)
+
+
+class GaussianHMM(HiddenMarkovModel):
+    """Ref ``hmm.py:434``."""
+
+    arg_constraints = {}
+    has_rsample = True
+    support = constraints.independent(constraints.real, 2)
+
+    def __init__(
+        self,
+        initial_dist,
+        transition_matrix,
+        transition_dist,
+        observation_matrix,
+        observation_dist,
+        duration=None,
+    ):
+        hidden_dim, obs_dim = observation_matrix.shape[-2:]
+        assert initial_dist.event_shape == (hidden_dim,)
+        assert transition_matrix.shape[-2:] == (hidden_dim, hidden_dim)
+        assert transition_dist.event_shape == (hidden_dim,)
+        assert observation_dist.event_shape == (obs_dim,)
+        shape = broadcast_shape(
+            initial_dist.batch_shape + (1,),
+            transition_matrix.shape[:-2],
+            transition_dist.batch_shape,
+            observation_matrix.shape[:-2],
+            observation_dist.batch_shape,
+        )
+        batch_shape, time_shape = shape[:-1], shape[-1:]
+        event_shape = tuple(time_shape) + (obs_dim,)
+        super().__init__(duration, batch_shape, event_shape)
+        self.hidden_dim = hidden_dim
+        self.obs_dim = obs_dim
+        self._init = mvn_to_gaussian(initial_dist).expand(self.batch_shape)
+        self._trans = matrix_and_mvn_to_gaussian(
+            transition_matrix, transition_dist
+        )
+        self._obs = matrix_and_mvn_to_gaussian(
+            observation_matrix, observation_dist
+        )
+
+    def expand(self, batch_shape, _instance=None):
+        batch_shape = tuple(batch_shape)
+        new = object.__new__(GaussianHMM)
+        new.hidden_dim = self.hidden_dim
+        new.obs_dim = self.obs_dim
+        new._obs = self._obs
+        new._trans = self._trans
+        new._init = self._init.expand(batch_shape)
+        Distribution.__init__(new, batch_shape, self.event_shape)
+        new._duration = self._duration
+        new._pyro_init_args = self._pyro_init_args
+        return new
+
+    def log_prob(self, value):
+        result = self._trans + self._obs.condition(value).event_pad(
+            left=self.hidden_dim
+        )
+        result = result.expand(result.batch_shape)
+        result = sequential_gaussian_tensordot(result)
+        result = gaussian_tensordot(self._init, result, dims=self.hidden_dim)
+        return result.event_logsumexp()
+
+    def rsample(self, key, sample_shape=()):
+        assert self.duration is not None
+        k_z, k_x = jax.random.split(key)
+        trans = self._trans + self._obs.marginalize(
+            right=self.obs_dim
+        ).event_pad(left=self.hidden_dim)
+        trans = trans.expand(
+            broadcast_shape(
+                trans.batch_shape, self.batch_shape + (self.duration,)
+            )
+        )
+        z = sequential_gaussian_filter_sample(
+            self._init, trans, sample_shape, rng_key=k_z
+        )
+        z = z[..., 1:, :]  # drop the initial hidden state
+        x = self._obs.left_condition(z).rsample(k_x)
+        return x
+
+    def rsample_posterior(self, value, key, sample_shape=()):
+        """Sample latent states given observations (ref ``hmm.py:600``)."""
+        trans = self._trans + self._obs.condition(value).event_pad(
+            left=self.hidden_dim
+        )
+        trans = trans.expand(trans.batch_shape)
+        z = sequential_gaussian_filter_sample(
+            self._init, trans, sample_shape, rng_key=key
+        )
+        return z[..., 1:, :]
+
+    def filter(self, value):
+        """Posterior over the final hidden state (ref ``hmm.py:611``)."""
+        logp = self._trans + self._obs.condition(value).event_pad(
+            left=self.hidden_dim
+        )
+        logp = logp.expand(logp.batch_shape)
+        logp = sequential_gaussian_tensordot(logp)
+        logp = gaussian_tensordot(self._init, logp, dims=self.hidden_dim)
+        # normalize to an MVN over the final state
+        return logp.to_mvn()
+
+    @property
+    def mean(self):
+        raise NotImplementedError
+
+    @property
+    def variance(self):
+        raise NotImplementedError

@@ -1,0 +1,466 @@
+"""Information-form Gaussian algebra for exact sequence marginalization.
+
+Ref ``pyro/ops/gaussian.py``: ``Gaussian:15`` (non-normalized batched
+Gaussian in info form), ``AffineNormal:294``, ``gaussian_tensordot:510``,
+``sequential_gaussian_tensordot:573`` (logarithmic pairwise contraction
+over time), ``sequential_gaussian_filter_sample:600``.
+
+A ``Gaussian`` represents  exp(c + i·x − ½ xᵀ P x)  with batched
+``log_normalizer c``, ``info_vec i`` and ``precision P``.  All ops are
+pure jnp, registered as a pytree, so Gaussians flow through
+``lax.associative_scan`` — the TPU-native replacement for the reference's
+Python pairwise loop: time contraction becomes O(log T) depth of batched
+(2n×2n) Cholesky solves that XLA maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions.util import broadcast_shape
+
+
+def _bcast(L, b):
+    """Broadcast the batch dims of a matrix and rhs (jax.scipy's
+    solve_triangular requires identical batch ranks)."""
+    batch = broadcast_shape(L.shape[:-2], b.shape[:-2])
+    return (
+        jnp.broadcast_to(L, batch + L.shape[-2:]),
+        jnp.broadcast_to(b, batch + b.shape[-2:]),
+    )
+
+
+def _tri_solve(L, b):
+    L, b = _bcast(L, b)
+    return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+
+
+def _cholesky_solve(L, b):
+    L, b = _bcast(L, b)
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class Gaussian:
+    """Ref ``ops/gaussian.py:15``."""
+
+    def __init__(self, log_normalizer, info_vec, precision):
+        self.log_normalizer = jnp.asarray(log_normalizer)
+        self.info_vec = jnp.asarray(info_vec)
+        self.precision = jnp.asarray(precision)
+
+    def tree_flatten(self):
+        return (self.log_normalizer, self.info_vec, self.precision), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.log_normalizer, obj.info_vec, obj.precision = children
+        return obj
+
+    @property
+    def dim(self) -> int:
+        return self.info_vec.shape[-1]
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        return broadcast_shape(
+            self.log_normalizer.shape,
+            self.info_vec.shape[:-1],
+            self.precision.shape[:-2],
+        )
+
+    def expand(self, batch_shape) -> "Gaussian":
+        n = self.dim
+        return Gaussian(
+            jnp.broadcast_to(self.log_normalizer, batch_shape),
+            jnp.broadcast_to(self.info_vec, tuple(batch_shape) + (n,)),
+            jnp.broadcast_to(self.precision, tuple(batch_shape) + (n, n)),
+        )
+
+    def reshape(self, batch_shape) -> "Gaussian":
+        n = self.dim
+        return Gaussian(
+            jnp.reshape(self.log_normalizer, batch_shape),
+            jnp.reshape(self.info_vec, tuple(batch_shape) + (n,)),
+            jnp.reshape(self.precision, tuple(batch_shape) + (n, n)),
+        )
+
+    def __getitem__(self, index) -> "Gaussian":
+        """Index batch dims only (event dims are preserved)."""
+        if not isinstance(index, tuple):
+            index = (index,)
+        return Gaussian(
+            self.log_normalizer[index],
+            self.info_vec[index + (slice(None),)],
+            self.precision[index + (slice(None), slice(None))],
+        )
+
+    @staticmethod
+    def cat(parts, dim: int = 0) -> "Gaussian":
+        if dim < 0:
+            dim += len(parts[0].batch_shape)
+        return Gaussian(
+            jnp.concatenate([p.log_normalizer for p in parts], axis=dim),
+            jnp.concatenate([p.info_vec for p in parts], axis=dim),
+            jnp.concatenate([p.precision for p in parts], axis=dim),
+        )
+
+    def event_pad(self, left: int = 0, right: int = 0) -> "Gaussian":
+        """Pad with zeros (new dims are unconstrained) — ref ``:120``."""
+        lr = (left, right)
+        info_vec = jnp.pad(
+            self.info_vec,
+            [(0, 0)] * (self.info_vec.ndim - 1) + [lr],
+        )
+        precision = jnp.pad(
+            self.precision,
+            [(0, 0)] * (self.precision.ndim - 2) + [lr, lr],
+        )
+        return Gaussian(self.log_normalizer, info_vec, precision)
+
+    def event_permute(self, perm) -> "Gaussian":
+        info_vec = self.info_vec[..., perm]
+        precision = self.precision[..., perm, :][..., :, perm]
+        return Gaussian(self.log_normalizer, info_vec, precision)
+
+    def __add__(self, other) -> "Gaussian":
+        if isinstance(other, Gaussian):
+            assert self.dim == other.dim
+            return Gaussian(
+                self.log_normalizer + other.log_normalizer,
+                self.info_vec + other.info_vec,
+                self.precision + other.precision,
+            )
+        # scalar/array offset to the log normalizer
+        return Gaussian(
+            self.log_normalizer + other, self.info_vec, self.precision
+        )
+
+    def __sub__(self, other):
+        return Gaussian(
+            self.log_normalizer - other, self.info_vec, self.precision
+        )
+
+    def log_density(self, value):
+        """Evaluate the non-normalized log density (ref ``:196``)."""
+        if self.dim == 0:
+            return jnp.broadcast_to(
+                self.log_normalizer,
+                broadcast_shape(
+                    self.log_normalizer.shape, value.shape[:-1]
+                ),
+            )
+        Px = jnp.einsum("...ij,...j->...i", self.precision, value)
+        return (
+            self.log_normalizer
+            + jnp.sum(value * (self.info_vec - 0.5 * Px), axis=-1)
+        )
+
+    def condition(self, value) -> "Gaussian":
+        """Condition on the RIGHT-most block taking ``value`` (ref ``:147``)."""
+        n_b = value.shape[-1]
+        n_a = self.dim - n_b
+        i_a = self.info_vec[..., :n_a]
+        i_b = self.info_vec[..., n_a:]
+        P_aa = self.precision[..., :n_a, :n_a]
+        P_ab = self.precision[..., :n_a, n_a:]
+        P_bb = self.precision[..., n_a:, n_a:]
+        info_vec = i_a - jnp.einsum("...ij,...j->...i", P_ab, value)
+        log_normalizer = (
+            self.log_normalizer
+            + jnp.sum(i_b * value, axis=-1)
+            - 0.5
+            * jnp.sum(
+                value * jnp.einsum("...ij,...j->...i", P_bb, value), axis=-1
+            )
+        )
+        return Gaussian(log_normalizer, info_vec, P_aa)
+
+    def left_condition(self, value) -> "Gaussian":
+        """Condition on the LEFT-most block (ref ``:170``)."""
+        n_a = value.shape[-1]
+        n = self.dim
+        perm = jnp.concatenate(
+            [jnp.arange(n_a, n), jnp.arange(n_a)]
+        )
+        return self.event_permute(perm).condition(value)
+
+    def marginalize(self, left: int = 0, right: int = 0) -> "Gaussian":
+        """Integrate out the left/right block exactly (ref ``:218``)."""
+        if left == 0 and right == 0:
+            return self
+        n = self.dim
+        n_b = left + right
+        a_idx = jnp.arange(left, n - right)
+        b_idx = jnp.concatenate(
+            [jnp.arange(left), jnp.arange(n - right, n)]
+        )
+        perm = jnp.concatenate([a_idx, b_idx])
+        g = self.event_permute(perm)
+        n_a = n - n_b
+        P_aa = g.precision[..., :n_a, :n_a]
+        P_ab = g.precision[..., :n_a, n_a:]
+        P_bb = g.precision[..., n_a:, n_a:]
+        i_a = g.info_vec[..., :n_a]
+        i_b = g.info_vec[..., n_a:]
+        L_bb = jnp.linalg.cholesky(P_bb)
+        # P_ab P_bb^{-1} = (L^{-1} P_ba)' (L^{-1} ·)
+        LinvPba = _tri_solve(L_bb, jnp.swapaxes(P_ab, -1, -2))
+        Linvib = _tri_solve(L_bb, i_b[..., None])[..., 0]
+        precision = P_aa - jnp.einsum(
+            "...ki,...kj->...ij", LinvPba, LinvPba
+        )
+        info_vec = i_a - jnp.einsum(
+            "...ki,...k->...i", LinvPba, Linvib
+        )
+        log_normalizer = (
+            self.log_normalizer
+            + 0.5 * n_b * math.log(2 * math.pi)
+            - jnp.sum(
+                jnp.log(jnp.diagonal(L_bb, axis1=-2, axis2=-1)), axis=-1
+            )
+            + 0.5 * jnp.sum(Linvib**2, axis=-1)
+        )
+        return Gaussian(log_normalizer, info_vec, precision)
+
+    def event_logsumexp(self):
+        """Integrate out ALL dims: the log normalization constant
+        (ref ``:272``)."""
+        n = self.dim
+        L = jnp.linalg.cholesky(self.precision)
+        Linvi = _tri_solve(L, self.info_vec[..., None])[..., 0]
+        return (
+            self.log_normalizer
+            + 0.5 * n * math.log(2 * math.pi)
+            - jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+            + 0.5 * jnp.sum(Linvi**2, axis=-1)
+        )
+
+    def rsample(self, key, sample_shape=()):
+        """Sample from the normalized density (ref ``:240``)."""
+        P = self.precision
+        L = jnp.linalg.cholesky(P)
+        loc = _cholesky_solve(L, self.info_vec[..., None])[..., 0]
+        shape = tuple(sample_shape) + self.batch_shape + (self.dim,)
+        eps = jax.random.normal(key, shape, loc.dtype)
+        # x = loc + L^{-T} eps  so that cov = P^{-1}
+        Lt = jnp.broadcast_to(
+            jnp.swapaxes(L, -1, -2), shape + (self.dim,)
+        )
+        white = jax.scipy.linalg.solve_triangular(
+            Lt, eps[..., None], lower=False
+        )[..., 0]
+        return loc + white
+
+    def to_mvn(self):
+        from ..distributions.multivariate import MultivariateNormal
+
+        P = self.precision
+        L = jnp.linalg.cholesky(P)
+        loc = _cholesky_solve(L, self.info_vec[..., None])[..., 0]
+        return MultivariateNormal(loc, precision_matrix=P)
+
+
+def mvn_to_gaussian(mvn) -> Gaussian:
+    """Ref ``ops/gaussian.py:328`` (also handles batched Normal)."""
+    from ..distributions.continuous import Normal
+    from ..distributions.distribution import Independent
+
+    if isinstance(mvn, Independent) and isinstance(mvn.base_dist, Normal):
+        base = mvn.base_dist
+        scale = jnp.broadcast_to(base.scale, base.batch_shape)
+        loc = jnp.broadcast_to(base.loc, base.batch_shape)
+        precision_diag = scale**-2
+        precision = precision_diag[..., None] * jnp.eye(
+            precision_diag.shape[-1]
+        )
+        info_vec = loc * precision_diag
+        log_normalizer = jnp.sum(
+            -0.5 * math.log(2 * math.pi)
+            - jnp.log(scale)
+            - 0.5 * (loc / scale) ** 2,
+            axis=-1,
+        )
+        return Gaussian(log_normalizer, info_vec, precision)
+    # full MVN
+    L = mvn.scale_tril
+    loc = mvn.loc
+    n = loc.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+    Linv = _tri_solve(L, eye)
+    precision = jnp.einsum("...ki,...kj->...ij", Linv, Linv)
+    info_vec = jnp.einsum("...ij,...j->...i", precision, loc)
+    log_normalizer = (
+        -0.5 * n * math.log(2 * math.pi)
+        - jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * jnp.sum(info_vec * loc, axis=-1)
+    )
+    return Gaussian(log_normalizer, info_vec, precision)
+
+
+def matrix_and_mvn_to_gaussian(matrix, mvn) -> Gaussian:
+    """Joint Gaussian over (x, y) for  y = x @ matrix + noise,
+    noise ~ mvn (ref ``ops/gaussian.py:365``).
+
+    matrix: (..., x_dim, y_dim).
+    """
+    y_gaussian = mvn_to_gaussian(mvn)
+    x_dim, y_dim = matrix.shape[-2:]
+    P_yy = y_gaussian.precision
+    i_y = y_gaussian.info_vec
+    # substitute y - x A into the y-density:
+    # -(1/2)(y - xA)' Pyy (y - xA) + i_y (y - xA)
+    A = matrix
+    P_xy = -jnp.einsum("...ij,...jk->...ik", A, P_yy)
+    P_xx = jnp.einsum("...ij,...jk,...lk->...il", A, P_yy, A)
+    i_x = -jnp.einsum("...ij,...j->...i", A, i_y)
+    batch = broadcast_shape(
+        P_xx.shape[:-2], P_yy.shape[:-2], A.shape[:-2]
+    )
+    top = jnp.concatenate(
+        [
+            jnp.broadcast_to(P_xx, batch + (x_dim, x_dim)),
+            jnp.broadcast_to(P_xy, batch + (x_dim, y_dim)),
+        ],
+        axis=-1,
+    )
+    bottom = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.swapaxes(P_xy, -1, -2), batch + (y_dim, x_dim)
+            ),
+            jnp.broadcast_to(P_yy, batch + (y_dim, y_dim)),
+        ],
+        axis=-1,
+    )
+    precision = jnp.concatenate([top, bottom], axis=-2)
+    info_vec = jnp.concatenate(
+        [
+            jnp.broadcast_to(i_x, batch + (x_dim,)),
+            jnp.broadcast_to(i_y, batch + (y_dim,)),
+        ],
+        axis=-1,
+    )
+    return Gaussian(
+        jnp.broadcast_to(y_gaussian.log_normalizer, batch),
+        info_vec,
+        precision,
+    )
+
+
+def gaussian_tensordot(x: Gaussian, y: Gaussian, dims: int = 0) -> Gaussian:
+    """Contract the last ``dims`` of x with the first ``dims`` of y
+    (ref ``ops/gaussian.py:510``)."""
+    na = x.dim - dims
+    nb = dims
+    nc = y.dim - dims
+    joint = x.event_pad(right=nc) + y.event_pad(left=na)
+    if nb == 0:
+        return joint
+    # marginalize the middle block: permute (a, c, b)
+    n = joint.dim
+    perm = jnp.concatenate(
+        [
+            jnp.arange(na),
+            jnp.arange(na + nb, n),
+            jnp.arange(na, na + nb),
+        ]
+    )
+    return joint.event_permute(perm).marginalize(right=nb)
+
+
+def sequential_gaussian_tensordot(gaussian: Gaussian) -> Gaussian:
+    """Integrate a Markov product of T conditionals over shared state.
+
+    gaussian has batch ``(..., T)`` and dim ``2n`` (prev, next state);
+    returns a Gaussian of dim 2n joining first and last states with the
+    interior integrated out.  Ref ``ops/gaussian.py:573``: logarithmic
+    pairwise halving; each round contracts adjacent pairs with one batched
+    ``gaussian_tensordot`` so depth is ceil(log2 T).
+    """
+    assert gaussian.dim % 2 == 0
+    state_dim = gaussian.dim // 2
+    while gaussian.batch_shape[-1] > 1:
+        time = gaussian.batch_shape[-1]
+        even_time = time // 2 * 2
+        even_part = gaussian[..., :even_time]
+        x_y = even_part.reshape(
+            gaussian.batch_shape[:-1] + (even_time // 2, 2)
+        )
+        x, y = x_y[..., 0], x_y[..., 1]
+        contracted = gaussian_tensordot(x, y, state_dim)
+        if time > even_time:
+            contracted = Gaussian.cat(
+                [contracted, gaussian[..., even_time:]], dim=-1
+            )
+        gaussian = contracted
+    return gaussian[..., 0]
+
+
+def sequential_gaussian_filter_sample(
+    init: Gaussian, trans: Gaussian, sample_shape=(), rng_key=None
+):
+    """Forward-filter backward-sample for a Gaussian Markov chain.
+
+    ``init`` is over the initial state (dim n); ``trans`` has batch
+    (..., T) over (prev, next).  Returns samples of shape
+    sample_shape + batch + (T+1, n).
+
+    Ref ``ops/gaussian.py:600`` implements a parallel-scan tree; here the
+    forward filter is a ``lax.scan``, backward sampling a second scan —
+    O(T) sequential but with tiny per-step batched ops.  (The O(log T)
+    associative-scan variant is used by GaussianHMM.log_prob via
+    ``sequential_gaussian_tensordot``.)
+    """
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    n = init.dim
+    T = trans.batch_shape[-1]
+    batch = trans.batch_shape[:-1]
+
+    # forward filtering: alpha_t(z_t) ∝ p(z_t, y_{1:t});
+    # carry alpha as (log_normalizer, info_vec, precision) over n dims
+    def fwd(alpha, tr):
+        # joint over (z_t, z_{t+1}), then marginalize z_t (left block)
+        joint = tr + alpha.event_pad(right=n)
+        new_alpha = joint.marginalize(left=n)
+        return new_alpha, alpha
+
+    # move time axis to the front for scan
+    trans_t = jax.tree.map(
+        lambda x: jnp.moveaxis(x, len(batch), 0), trans
+    )
+    alpha_T, alphas = jax.lax.scan(fwd, init.expand(batch), trans_t)
+
+    # backward sampling: z_T ~ alpha_T; z_t | z_{t+1} ~ alpha_t(z_t) *
+    # trans_t(z_t, z_{t+1})
+    key_T, key_rest = jax.random.split(rng_key)
+    z_T = alpha_T.rsample(key_T, sample_shape)
+    keys = jax.random.split(key_rest, T)
+
+    def bwd(z_next, inputs):
+        alpha_t, tr_t, key = inputs
+        # condition trans on z_{t+1} (the right block), multiply by alpha
+        cond = tr_t.condition(z_next)
+        posterior = Gaussian(
+            cond.log_normalizer + alpha_t.log_normalizer,
+            cond.info_vec + alpha_t.info_vec,
+            cond.precision + alpha_t.precision,
+        )
+        z_t = posterior.rsample(key)
+        return z_t, z_next
+
+    # the scan output at index t is z_{t+1}; the final carry is z_0
+    z_0, zs = jax.lax.scan(bwd, z_T, (alphas, trans_t, keys), reverse=True)
+    seq = jnp.concatenate(
+        [z_0[..., None, :], jnp.moveaxis(zs, 0, -2)], axis=-2
+    )
+    return seq

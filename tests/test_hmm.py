@@ -1,0 +1,194 @@
+"""HMM distribution tests: O(log T) marginalization vs brute force
+(mirrors ``tests/distributions/test_hmm.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyro_tpu.distributions as dist
+from pyro_tpu.ops.gaussian import (
+    Gaussian,
+    gaussian_tensordot,
+    mvn_to_gaussian,
+    matrix_and_mvn_to_gaussian,
+    sequential_gaussian_tensordot,
+)
+
+KEY = jax.random.key(0)
+
+
+def brute_force_discrete_hmm_logprob(init_logits, trans_logits, obs_lp):
+    """O(T*S^2) forward algorithm in numpy."""
+    init = np.asarray(init_logits)
+    trans = np.asarray(trans_logits)
+    obs = np.asarray(obs_lp)  # (T, S)
+    T, S = obs.shape
+    from scipy.special import logsumexp
+    alpha = init  # over pre-obs state
+    for t in range(T):
+        tl = trans[t] if trans.ndim == 3 else trans
+        alpha = logsumexp(alpha[:, None] + tl + obs[t][None, :], axis=0)
+    return logsumexp(alpha)
+
+
+@pytest.mark.parametrize("T", [1, 2, 3, 5, 8, 16, 17])
+def test_discrete_hmm_matches_brute_force(T):
+    S = 3
+    k1, k2, k3, k4 = jax.random.split(KEY, 4)
+    init = jax.random.normal(k1, (S,))
+    trans = jax.random.normal(k2, (T, S, S))
+    obs_loc = jax.random.normal(k3, (T, S))
+    obs_dist = dist.Normal(obs_loc, 1.0)
+    d = dist.DiscreteHMM(init, trans, obs_dist)
+    assert d.event_shape == (T,)
+    value = jax.random.normal(k4, (T,))
+    actual = float(d.log_prob(value))
+    obs_lp = np.asarray(
+        dist.Normal(obs_loc, 1.0).log_prob(value[:, None])
+    )
+    init_n = np.asarray(init - jax.scipy.special.logsumexp(init))
+    trans_n = np.asarray(
+        trans - jax.scipy.special.logsumexp(trans, axis=-1, keepdims=True)
+    )
+    expected = brute_force_discrete_hmm_logprob(init_n, trans_n, obs_lp)
+    assert np.allclose(actual, expected, rtol=1e-4), (actual, expected)
+
+
+def test_discrete_hmm_homogeneous_broadcast():
+    S = 4
+    init = jnp.zeros(S)
+    trans = jax.random.normal(KEY, (S, S))
+    obs_dist = dist.Normal(jnp.arange(float(S)), 1.0).expand((1, S))
+    d = dist.DiscreteHMM(init, trans[None], obs_dist, duration=10)
+    value = jax.random.normal(KEY, (10,))
+    assert np.isfinite(float(d.log_prob(value)))
+    x = d.sample(KEY)
+    assert x.shape == (10,)
+
+
+def test_discrete_hmm_filter():
+    S, T = 3, 6
+    k1, k2 = jax.random.split(KEY)
+    init = jax.random.normal(k1, (S,))
+    trans = jax.random.normal(k2, (T, S, S))
+    obs_dist = dist.Normal(jnp.arange(float(S)) * 2, 0.5).expand((T, S))
+    d = dist.DiscreteHMM(init, trans, obs_dist)
+    value = jnp.full((T,), 4.0)  # near state 2
+    post = d.filter(value)
+    probs = np.asarray(post.probs)
+    assert probs.shape == (S,)
+    assert probs.argmax() == 2
+
+
+def test_gaussian_algebra_tensordot():
+    """(x ⨂ y) density equals brute-force integral on a grid-free identity:
+    contracting a joint Gaussian against marginalization."""
+    k1, k2 = jax.random.split(KEY)
+    # random PD precisions
+    A1 = jax.random.normal(k1, (3, 3))
+    P1 = A1 @ A1.T + 3 * jnp.eye(3)
+    A2 = jax.random.normal(k2, (3, 3))
+    P2 = A2 @ A2.T + 3 * jnp.eye(3)
+    g1 = Gaussian(jnp.asarray(0.5), jax.random.normal(k1, (3,)), P1)
+    g2 = Gaussian(jnp.asarray(-0.2), jax.random.normal(k2, (3,)), P2)
+    # contract 1 dim: result over (2 + 2) dims
+    out = gaussian_tensordot(g1, g2, dims=1)
+    assert out.dim == 4
+    # total mass identity: logsumexp(out) == logsumexp(joint)
+    joint = g1.event_pad(right=2) + g2.event_pad(left=2)
+    assert np.allclose(
+        float(out.event_logsumexp()),
+        float(joint.event_logsumexp()),
+        rtol=1e-5,
+    )
+
+
+def test_gaussian_hmm_logprob_matches_dense_mvn():
+    """GaussianHMM log_prob == the log_prob of the equivalent joint MVN."""
+    hidden, obs_d, T = 2, 2, 4
+    ks = jax.random.split(KEY, 6)
+    init = dist.MultivariateNormal(
+        jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden)
+    )
+    trans_mat = 0.5 * jnp.eye(hidden) + 0.1 * jax.random.normal(ks[0], (hidden, hidden))
+    trans_dist = dist.MultivariateNormal(
+        jnp.zeros(hidden), covariance_matrix=0.5 * jnp.eye(hidden)
+    )
+    obs_mat = jax.random.normal(ks[1], (hidden, obs_d))
+    obs_dist = dist.MultivariateNormal(
+        jnp.zeros(obs_d), covariance_matrix=0.3 * jnp.eye(obs_d)
+    )
+    d = dist.GaussianHMM(
+        init, trans_mat[None], trans_dist.expand((1,)), obs_mat[None],
+        obs_dist.expand((1,)), duration=T,
+    )
+    value = jax.random.normal(ks[2], (T, obs_d))
+    actual = float(d.log_prob(value))
+
+    # dense construction in numpy: z ~ AR(1), y = z H + noise
+    A = np.asarray(trans_mat)
+    H = np.asarray(obs_mat)
+    Q = 0.5 * np.eye(hidden)
+    R = 0.3 * np.eye(obs_d)
+    P0 = np.eye(hidden)
+    # joint covariance of z_{1:T} (after one transition from z_0)
+    # z_t = A' z_{t-1} + w (note x @ A convention => z' = A^T z)
+    At = A.T
+    covs = {}
+    P = At @ P0 @ At.T + Q
+    zcov = np.zeros((T * hidden, T * hidden))
+    Ps = []
+    for t in range(T):
+        Ps.append(P)
+        P = At @ P @ At.T + Q
+    for i in range(T):
+        for j in range(i, T):
+            # cov(z_i, z_j) = P_i (At^T)^{j-i}
+            C = Ps[i] @ np.linalg.matrix_power(At.T, j - i)
+            zcov[i*hidden:(i+1)*hidden, j*hidden:(j+1)*hidden] = C
+            zcov[j*hidden:(j+1)*hidden, i*hidden:(i+1)*hidden] = C.T
+    Hbig = np.kron(np.eye(T), H.T)  # y = H^T z
+    ycov = Hbig @ zcov @ Hbig.T + np.kron(np.eye(T), R)
+    from scipy.stats import multivariate_normal
+    expected = multivariate_normal.logpdf(
+        np.asarray(value).reshape(-1), np.zeros(T * obs_d), ycov
+    )
+    assert np.allclose(actual, expected, rtol=1e-4), (actual, expected)
+
+
+def test_gaussian_hmm_rsample_moments():
+    hidden, obs_d, T = 2, 1, 5
+    init = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden))
+    trans_mat = 0.8 * jnp.eye(hidden)
+    trans_dist = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=0.2 * jnp.eye(hidden))
+    obs_mat = jnp.ones((hidden, obs_d))
+    obs_dist = dist.MultivariateNormal(jnp.zeros(obs_d), covariance_matrix=0.1 * jnp.eye(obs_d))
+    d = dist.GaussianHMM(
+        init, trans_mat[None], trans_dist.expand((1,)), obs_mat[None],
+        obs_dist.expand((1,)), duration=T,
+    )
+    x = d.rsample(KEY, (8000,))
+    assert x.shape == (8000, T, obs_d)
+    # mean should be ~0, marginal variance via analytic recursion
+    assert np.abs(np.asarray(x).mean()) < 0.05
+    # cross-check marginal variances against log_prob consistency:
+    lp = d.log_prob(x[:100])
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_gaussian_hmm_filter_runs():
+    hidden, obs_d, T = 2, 2, 6
+    init = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden))
+    d = dist.GaussianHMM(
+        init,
+        jnp.eye(hidden)[None],
+        dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden)).expand((1,)),
+        jnp.eye(hidden)[None],
+        dist.MultivariateNormal(jnp.zeros(obs_d), covariance_matrix=jnp.eye(obs_d)).expand((1,)),
+        duration=T,
+    )
+    value = jax.random.normal(KEY, (T, obs_d))
+    post = d.filter(value)
+    assert post.batch_shape == ()
+    assert post.event_shape == (hidden,)
