@@ -23,6 +23,7 @@ from .primitives import (
     validation_enabled,
 )
 from .poutine.plate_messenger import plate_stack
+from .poutine.enum_messenger import markov
 
 __version__ = "0.1.0"
 
@@ -35,6 +36,7 @@ __all__ = [
     "factor",
     "get_param_store",
     "infer",
+    "markov",
     "module",
     "optim",
     "param",

@@ -8,7 +8,9 @@ from .autoguide import (
     AutoNormal,
 )
 from .elbo import ELBO, JitTrace_ELBO, Trace_ELBO, TraceMeanField_ELBO
+from .discrete import infer_discrete
 from .enum import config_enumerate, get_importance_trace
+from .traceenum_elbo import JitTraceEnum_ELBO, TraceEnum_ELBO
 from .mcmc import HMC, MCMC, NUTS
 from .predictive import MHResampler, Predictive, WeighedPredictive
 from .svi import SVI
@@ -29,9 +31,11 @@ __all__ = [
     "NUTS",
     "Predictive",
     "SVI",
+    "TraceEnum_ELBO",
     "Trace_ELBO",
     "TraceMeanField_ELBO",
     "WeighedPredictive",
     "config_enumerate",
     "get_importance_trace",
+    "infer_discrete",
 ]

@@ -46,6 +46,14 @@ class ELBO:
         self.max_plate_nesting = max_plate_nesting
         self.vectorize_particles = vectorize_particles
         self.strict_enumeration_warning = strict_enumeration_warning
+        # the particle plate occupies one extra nesting level
+        # (ref ``elbo.py:128-131``)
+        if (
+            self.vectorize_particles
+            and self.num_particles > 1
+            and self.max_plate_nesting != float("inf")
+        ):
+            self.max_plate_nesting += 1
 
     def _guess_max_plate_nesting(self, model, guide, args, kwargs):
         """Ref ``elbo.py:144``: run once eagerly and inspect plate dims."""
@@ -68,6 +76,8 @@ class ELBO:
             if f.dim is not None
         ]
         self.max_plate_nesting = -min(dims) if dims else 0
+        if self.vectorize_particles and self.num_particles > 1:
+            self.max_plate_nesting += 1
 
     def _vectorized_num_particles(self, fn):
         """Wrap fn in an outer particle plate (ref ``elbo.py:186``)."""
@@ -78,7 +88,7 @@ class ELBO:
             with PlateMessenger(
                 "num_particles_vectorized",
                 self.num_particles,
-                dim=-int(self.max_plate_nesting) - 1,
+                dim=-int(self.max_plate_nesting),
             ):
                 return fn(*args, **kwargs)
 

@@ -67,6 +67,11 @@ class MCMC:
         )
 
         chain_keys = jax.random.split(key_chains, self.num_chains)
+        # optional chain-axis sharding over a device mesh
+        # (set by pyro_tpu.parallel.sharded_chain_mcmc)
+        key_sharding = getattr(self, "_key_sharding", None)
+        if key_sharding is not None:
+            chain_keys = jax.device_put(chain_keys, key_sharding)
 
         def run_chain(key):
             key_draw, key_state = jax.random.split(key)

@@ -1,0 +1,282 @@
+"""TraceEnum_ELBO: exact marginalization of enumerated discrete variables.
+
+Ref ``pyro/infer/traceenum_elbo.py:316`` (``_compute_dice_elbo:178``,
+``_compute_model_factors:112``) and arXiv:1902.03210 (tensor variable
+elimination).  Model-side enumerated variables are summed out exactly via
+``contract_tensor_tree``; everything else is weighted by DiCE factors so the
+single surrogate is differentiable.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+
+from .. import poutine
+from ..ops import packed
+from ..ops.contract import contract_tensor_tree, contract_to_tensor
+from ..ops.rings import LogRing
+from ..poutine.enum_messenger import EnumMessenger
+from ..poutine.util import prune_subsample_sites
+from .elbo import ELBO
+from .util import Dice
+
+
+def _find_ordinal(trace, site):
+    return frozenset(
+        trace.plate_to_symbol[f.name]
+        for f in site["cond_indep_stack"]
+        if f.dim is not None
+    )
+
+
+def _get_common_scale(scales):
+    scales_set = set()
+    for scale in scales:
+        if not isinstance(scale, (int, float)):
+            raise ValueError(
+                "enumeration only supports scalar subsampling scales"
+            )
+        scales_set.add(float(scale))
+    if len(scales_set) != 1:
+        raise ValueError(
+            f"enumeration expects a single common scale, got {scales_set}"
+        )
+    return scales_set.pop()
+
+
+def _compute_model_factors(model_trace, guide_trace):
+    """Ref ``traceenum_elbo.py:112``."""
+    ordering = {
+        name: _find_ordinal(trace, site)
+        for trace in (model_trace, guide_trace)
+        for name, site in trace.nodes.items()
+        if site["type"] == "sample"
+    }
+    cost_sites = OrderedDict()
+    enum_sites = OrderedDict()
+    enum_dims = set()
+    non_enum_dims = set().union(*ordering.values()) if ordering else set()
+    for name, site in model_trace.nodes.items():
+        if site["type"] != "sample":
+            continue
+        if site["infer"].get("_do_not_score"):
+            continue
+        if name in guide_trace.nodes:
+            cost_sites.setdefault(ordering[name], []).append(site)
+            non_enum_dims.update(
+                guide_trace.nodes[name]["packed"]["log_prob"].dims
+            )
+        elif site["infer"].get("_enumerate_dim") is None:
+            cost_sites.setdefault(ordering[name], []).append(site)
+        else:
+            enum_sites.setdefault(ordering[name], []).append(site)
+            enum_dims.update(site["packed"]["log_prob"].dims)
+    enum_dims -= non_enum_dims
+    log_factors = OrderedDict()
+    scale = 1.0
+    if not enum_sites:
+        marginal_costs = OrderedDict(
+            (t, [site["packed"]["log_prob"] for site in sites_t])
+            for t, sites_t in cost_sites.items()
+        )
+        return marginal_costs, log_factors, ordering, enum_dims, scale
+
+    # marginalize out variables enumerated in the model
+    marginal_costs = OrderedDict()
+    scales = []
+    for t, sites_t in cost_sites.items():
+        for site in sites_t:
+            if enum_dims.isdisjoint(site["packed"]["log_prob"].dims):
+                marginal_costs.setdefault(t, []).append(
+                    site["packed"]["log_prob"]
+                )
+            else:
+                # mask inside, scale outside the log expectation
+                cost = packed.scale_and_mask(
+                    site["packed"]["unscaled_log_prob"],
+                    mask=site["packed"]["mask"]
+                    if not isinstance(site["packed"]["mask"], bool)
+                    else None,
+                )
+                log_factors.setdefault(t, []).append(cost)
+                scales.append(site["scale"])
+    for t, sites_t in enum_sites.items():
+        for site in sites_t:
+            log_factors.setdefault(t, []).append(
+                site["packed"]["unscaled_log_prob"]
+            )
+            scales.append(site["scale"])
+    scale = _get_common_scale(scales)
+    return marginal_costs, log_factors, ordering, enum_dims, scale
+
+
+def _compute_dice_elbo(model_trace, guide_trace):
+    """Ref ``traceenum_elbo.py:178``."""
+    (
+        marginal_costs,
+        log_factors,
+        ordering,
+        sum_dims,
+        scale,
+    ) = _compute_model_factors(model_trace, guide_trace)
+    if log_factors:
+        dim_to_size = {}
+        for terms in log_factors.values():
+            for term in terms:
+                dim_to_size.update(zip(term.dims, term.shape))
+        ring = LogRing(dim_to_size=dim_to_size)
+        log_factors = contract_tensor_tree(
+            log_factors, sum_dims, ring=ring
+        )
+        for t, log_factors_t in log_factors.items():
+            marginal_costs_t = marginal_costs.setdefault(t, [])
+            for term in log_factors_t:
+                term = packed.scale_and_mask(term, scale=scale)
+                marginal_costs_t.append(term)
+    costs = marginal_costs
+
+    # accumulate negative guide costs
+    for name, site in guide_trace.nodes.items():
+        if site["type"] == "sample" and not site["infer"].get(
+            "_do_not_score"
+        ):
+            cost = packed.neg(site["packed"]["log_prob"])
+            costs.setdefault(ordering[name], []).append(cost)
+
+    return Dice(guide_trace, ordering).compute_expectation(costs)
+
+
+class TraceEnum_ELBO(ELBO):
+    """Ref ``traceenum_elbo.py:316``."""
+
+    def _get_trace_pair(self, model, guide, args, kwargs, rng_key):
+        """Run guide then replayed model, both under enumeration."""
+        import jax as _jax
+
+        key_guide, key_model = _jax.random.split(rng_key)
+        first_dim = -1 - int(self.max_plate_nesting)
+        guide_enum = EnumMessenger(first_available_dim=first_dim)(
+            poutine.seed(guide, rng_key=key_guide)
+        )
+        guide_trace = poutine.trace(guide_enum).get_trace(*args, **kwargs)
+        model_enum = EnumMessenger()(  # continue the same dim allocation
+            poutine.seed(
+                poutine.replay(model, trace=guide_trace), rng_key=key_model
+            )
+        )
+        model_trace = poutine.trace(model_enum).get_trace(*args, **kwargs)
+
+        guide_trace = prune_subsample_sites(guide_trace)
+        model_trace = prune_subsample_sites(model_trace)
+        model_trace.compute_log_prob()
+        guide_trace.compute_score_parts()
+        # pack with a shared plate-symbol namespace
+        model_trace.pack_tensors()
+        guide_trace.pack_tensors(model_trace.plate_to_symbol)
+        return model_trace, guide_trace
+
+    def _setup(self, model, guide, args, kwargs):
+        if self.max_plate_nesting == float("inf"):
+            self._guess_max_plate_nesting(model, guide, args, kwargs)
+
+    def differentiable_loss(self, model, guide, *args, rng_key=None, **kwargs):
+        self._setup(model, guide, args, kwargs)
+        if rng_key is None:
+            from ..poutine.runtime import _next_eager_key
+
+            rng_key = _next_eager_key()
+        if self.vectorize_particles and self.num_particles > 1:
+            model = self._vectorized_num_particles(model)
+            guide = self._vectorized_num_particles(guide)
+            keys = [rng_key]
+        elif self.num_particles > 1:
+            keys = list(jax.random.split(rng_key, self.num_particles))
+        else:
+            keys = [rng_key]
+        elbo = 0.0
+        for key in keys:
+            model_trace, guide_trace = self._get_trace_pair(
+                model, guide, args, kwargs, key
+            )
+            elbo_particle = _compute_dice_elbo(model_trace, guide_trace)
+            elbo = elbo + elbo_particle / self.num_particles
+        return -elbo
+
+    loss_and_grads = differentiable_loss
+
+    def loss(self, model, guide, *args, rng_key=None, **kwargs) -> float:
+        return self.differentiable_loss(
+            model, guide, *args, rng_key=rng_key, **kwargs
+        )
+
+    def compute_marginals(self, model, guide, *args, rng_key=None, **kwargs):
+        """Marginal posterior over each model-enumerated site
+        (ref ``traceenum_elbo.py:224``)."""
+        self._setup(model, guide, args, kwargs)
+        if rng_key is None:
+            from ..poutine.runtime import _next_eager_key
+
+            rng_key = _next_eager_key()
+        model_trace, guide_trace = self._get_trace_pair(
+            model, guide, args, kwargs, rng_key
+        )
+        return _compute_marginals(model_trace, guide_trace)
+
+
+def _compute_marginals(model_trace, guide_trace):
+    """Ref ``traceenum_elbo.py:224``."""
+    from ..distributions.discrete import Bernoulli, Categorical
+
+    (
+        marginal_costs,
+        log_factors,
+        ordering,
+        sum_dims,
+        scale,
+    ) = _compute_model_factors(model_trace, guide_trace)
+
+    marginal_dists = OrderedDict()
+    for name, site in model_trace.nodes.items():
+        if (
+            site["type"] != "sample"
+            or name in guide_trace.nodes
+            or site["infer"].get("_enumerate_dim") is None
+        ):
+            continue
+        enum_dim = site["infer"]["_enumerate_dim"]
+        enum_symbol = site["infer"]["_enumerate_symbol"]
+        ordinal = _find_ordinal(model_trace, site)
+        logits_packed = contract_to_tensor(
+            OrderedDict(
+                (t, list(terms)) for t, terms in log_factors.items()
+            ),
+            sum_dims,
+            target_ordinal=ordinal,
+            target_dims={enum_symbol},
+        )
+        logits = packed.unpack(logits_packed, model_trace.symbol_to_dim)
+        # move the enum dim to the rightmost position
+        logits = jnp.moveaxis(logits, enum_dim, -1)
+        while logits.ndim and logits.shape[0] == 1:
+            logits = logits[0]
+        logits = logits - jax.scipy.special.logsumexp(
+            logits, axis=-1, keepdims=True
+        )
+        fn = site["fn"]
+        if isinstance(fn, Bernoulli) or (
+            hasattr(fn, "base_dist") and isinstance(getattr(fn, "base_dist", None), Bernoulli)
+        ):
+            marginal_dists[name] = Bernoulli(
+                logits=logits[..., 1] - logits[..., 0]
+            )
+        else:
+            marginal_dists[name] = Categorical(logits=logits)
+    return marginal_dists
+
+
+class JitTraceEnum_ELBO(TraceEnum_ELBO):
+    """API parity alias (always jit-compiled via SVI)."""

@@ -74,6 +74,136 @@ def get_plate_stacks(trace) -> Dict[str, List]:
     }
 
 
+def compute_site_dice_factor(site):
+    """Per-site DiCE log factor + log normalizer (ref ``infer/util.py:170``).
+
+    Exhaustively-enumerated sites contribute their exact (scaled) log_prob;
+    Monte-Carlo sites contribute a zero-valued term that carries the score-
+    function gradient (log q − stop_grad(log q))."""
+    import math
+
+    from ..ops.packed import PackedTensor
+
+    log_denom = 0.0
+    log_prob = site["packed"]["log_prob"]
+    if site["infer"].get("enumerate"):
+        num_samples = site["infer"].get("num_samples")
+        if num_samples is not None:  # TMC sampled enumeration
+            log_prob = PackedTensor(
+                log_prob.value - jax.lax.stop_gradient(log_prob.value),
+                log_prob.dims,
+            )
+            log_denom = math.log(num_samples)
+        elif site["infer"]["enumerate"] == "sequential":
+            log_denom = math.log(
+                site["infer"].get("_enum_total", 1)
+            )
+    else:  # monte carlo sampled
+        log_prob = PackedTensor(
+            log_prob.value - jax.lax.stop_gradient(log_prob.value),
+            log_prob.dims,
+        )
+    return log_prob, log_denom
+
+
+class Dice:
+    """DiCE operator for plate-aware differentiable expectations.
+
+    Ref ``pyro/infer/util.py:199``.  ``compute_expectation`` computes, for
+    each cost tensor, the marginal probability of its dims under the product
+    of dice factors via a direct log-einsum contraction (the reference uses
+    an adjoint backward pass to share work across queries; here each query
+    is one fused XLA contraction).
+    """
+
+    def __init__(self, guide_trace, ordering):
+        from collections import defaultdict
+
+        log_denoms: dict = defaultdict(float)
+        log_probs: dict = defaultdict(list)
+        for name, site in guide_trace.nodes.items():
+            if site["type"] != "sample":
+                continue
+            if site["infer"].get("_do_not_score"):
+                continue
+            log_prob, log_denom = compute_site_dice_factor(site)
+            ordinal = ordering[name]
+            log_probs[ordinal].append(log_prob)
+            if log_denom:
+                log_denoms[ordinal] += log_denom
+        self.log_denom = log_denoms
+        self.log_probs = log_probs
+
+    def _get_log_factors(self, target_ordinal):
+        log_denom = 0.0
+        for ordinal, term in self.log_denom.items():
+            if not ordinal <= target_ordinal:
+                log_denom += term
+        log_factors = [] if log_denom == 0.0 else [-log_denom]
+        for ordinal, terms in self.log_probs.items():
+            if ordinal <= target_ordinal:
+                log_factors.extend(terms)
+        return log_factors
+
+    def compute_expectation(self, costs):
+        """Ref ``infer/util.py:264``."""
+        import math
+
+        from ..ops.packed import PackedTensor, broadcast_all
+        from ..ops.rings import logsumexp_contract
+
+        expected_cost = 0.0
+        for ordinal, cost_terms in costs.items():
+            log_factors = self._get_log_factors(ordinal)
+            scale = math.exp(
+                sum(x for x in log_factors if isinstance(x, float))
+            )
+            log_factors = [
+                x for x in log_factors if isinstance(x, PackedTensor)
+            ]
+            factor_dims = set()
+            for f in log_factors:
+                factor_dims |= set(f.dims)
+
+            # group cost terms by their dims-set; one contraction per group
+            prob_cache = {}
+            for cost in cost_terms:
+                key = frozenset(cost.dims)
+                if key not in prob_cache:
+                    out_dims = "".join(sorted(key & factor_dims))
+                    if log_factors:
+                        sum_dims = factor_dims - set(out_dims)
+                        log_marginal = logsumexp_contract(
+                            list(log_factors), sum_dims
+                        )
+                        # keep only out_dims (other retained dims are
+                        # ordinal plate dims shared with the cost)
+                        extra = set(log_marginal.dims) - key
+                        if extra:
+                            from ..ops.rings import logsumexp_single
+
+                            keep = "".join(
+                                d
+                                for d in log_marginal.dims
+                                if d not in extra
+                            )
+                            log_marginal = logsumexp_single(
+                                log_marginal, keep
+                            )
+                        prob = PackedTensor(
+                            jnp.exp(log_marginal.value), log_marginal.dims
+                        )
+                    else:
+                        prob = PackedTensor(jnp.ones(()), "")
+                    prob_cache[key] = prob
+                prob = prob_cache[key]
+                c, p = broadcast_all(cost, prob)
+                expected_cost = expected_cost + scale * jnp.sum(
+                    c.value * p.value
+                )
+        return expected_cost
+
+
 def check_fully_reparametrized(guide_site) -> None:
     from ..distributions.util import is_identically_zero
 

@@ -1,0 +1,169 @@
+"""Algebraic rings over packed log-space tensors.
+
+Ref ``pyro/ops/rings.py`` (``Ring:14``, ``LogRing:178``, ``MapRing:260``)
+and the einsum backends ``pyro/ops/einsum/torch_log.py`` / ``torch_map.py``.
+
+TPU-native log-sum-exp einsum: contractions are folded pairwise; each
+pairwise step max-shifts both operands over the axes being summed (shifts
+detached and clamped finite), performs a *real* einsum of the shifted
+exponentials — a plain matmul XLA tiles onto the MXU — then returns to log
+space.  This is the "log-einsum-exp on the MXU" strategy from SURVEY §2.8
+P3 (a fused Pallas kernel is a later optimization).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Set
+
+import jax
+import jax.numpy as jnp
+
+from .packed import PackedTensor, align
+
+
+def _symbol_ids(dims_list: Sequence[str], out_dims: str):
+    table: Dict[str, int] = {}
+    for dims in list(dims_list) + [out_dims]:
+        for d in dims:
+            table.setdefault(d, len(table))
+    return [[table[d] for d in dims] for dims in dims_list], [
+        table[d] for d in out_dims
+    ]
+
+
+def _finite(x):
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def _shift(p: PackedTensor, out_dims: str):
+    """Max over axes not in out_dims (detached, finite), keepdims."""
+    axes = tuple(i for i, d in enumerate(p.dims) if d not in out_dims)
+    if not axes:
+        return p.value, None
+    m = jax.lax.stop_gradient(
+        jnp.max(p.value, axis=axes, keepdims=True)
+    )
+    m = _finite(m)
+    return p.value - m, PackedTensor(
+        jnp.squeeze(m, axis=axes), "".join(d for d in p.dims if d in out_dims)
+    )
+
+
+def logsumexp_pair(x: PackedTensor, y: PackedTensor, out_dims: str) -> PackedTensor:
+    """log-space contraction of two packed tensors to out_dims."""
+    xv, xshift = _shift(x, out_dims)
+    yv, yshift = _shift(y, out_dims)
+    (ix, iy), io = _symbol_ids([x.dims, y.dims], out_dims)
+    z = jnp.einsum(jnp.exp(xv), ix, jnp.exp(yv), iy, io)
+    tiny = jnp.finfo(z.dtype).tiny
+    result = jnp.log(jnp.clip(z, tiny))
+    out = PackedTensor(result, out_dims)
+    for shift in (xshift, yshift):
+        if shift is not None:
+            out = PackedTensor(
+                out.value + align(shift, out_dims).value, out_dims
+            )
+    return out
+
+
+def logsumexp_single(x: PackedTensor, out_dims: str) -> PackedTensor:
+    axes = tuple(i for i, d in enumerate(x.dims) if d not in out_dims)
+    if not axes:
+        return align(x, out_dims) if x.dims != out_dims else x
+    v = jax.scipy.special.logsumexp(x.value, axis=axes)
+    return align(
+        PackedTensor(v, "".join(d for d in x.dims if d in out_dims)),
+        out_dims,
+    )
+
+
+def logsumexp_contract(terms: List[PackedTensor], sum_dims: Set[str]) -> PackedTensor:
+    """Contract a list of log factors, eliminating ``sum_dims``, via a
+    left-fold of pairwise contractions keeping dims still needed."""
+    if len(terms) == 1 and not sum_dims:
+        return terms[0]
+    if len(terms) == 1:
+        out_dims = "".join(
+            d for d in terms[0].dims if d not in sum_dims
+        )
+        return logsumexp_single(terms[0], out_dims)
+    # remaining-needs bookkeeping: dim needed if in output (non-sum) or in a
+    # later term
+    result = terms[0]
+    for i in range(1, len(terms)):
+        later_dims: Set[str] = set()
+        for t in terms[i + 1:]:
+            later_dims |= set(t.dims)
+        involved = set(result.dims) | set(terms[i].dims)
+        out_dims = "".join(
+            sorted(
+                d
+                for d in involved
+                if d not in sum_dims or d in later_dims
+            )
+        )
+        result = logsumexp_pair(result, terms[i], out_dims)
+    return result
+
+
+class LogRing:
+    """Ref ``rings.py:178`` (LogRing): sum-product in log space; plate
+    'product' is a plain sum over the plate axis."""
+
+    def __init__(self, cache=None, dim_to_size: Dict[str, int] = None):
+        self._cache = {} if cache is None else cache
+        self._dim_to_size: Dict[str, int] = dict(dim_to_size or {})
+
+    def _observe(self, term: PackedTensor):
+        for d, s in zip(term.dims, term.shape):
+            self._dim_to_size[d] = s
+
+    def sumproduct(self, terms: List[PackedTensor], dims) -> PackedTensor:
+        dims = set(dims)
+        for t in terms:
+            self._observe(t)
+        if len(terms) == 1 and not dims:
+            return terms[0]
+        if not terms:
+            return PackedTensor(jnp.zeros(()), "")
+        return logsumexp_contract(list(terms), dims)
+
+    def product(self, term: PackedTensor, ordinal) -> PackedTensor:
+        """Product over plate instances = sum of logs over plate axes."""
+        self._observe(term)
+        axes = tuple(
+            i for i, d in enumerate(term.dims) if d in ordinal
+        )
+        if not axes:
+            return term
+        value = jnp.sum(term.value, axis=axes)
+        dims = "".join(d for i, d in enumerate(term.dims) if i not in axes)
+        return PackedTensor(value, dims)
+
+    def inv(self, term: PackedTensor) -> PackedTensor:
+        self._observe(term)
+        value = -term.value
+        value = jnp.where(jnp.isnan(value), -jnp.inf, value)
+        return PackedTensor(value, term.dims)
+
+    def broadcast(self, term: PackedTensor, ordinal) -> PackedTensor:
+        self._observe(term)
+        missing = "".join(sorted(set(ordinal) - set(term.dims)))
+        if not missing:
+            return term
+        # dims never observed in any factor were squeezed as size-1
+        missing_shape = tuple(self._dim_to_size.get(d, 1) for d in missing)
+        value = jnp.broadcast_to(
+            term.value, missing_shape + term.shape
+        )
+        return PackedTensor(value, missing + term.dims)
+
+    def global_local(self, term: PackedTensor, dims, ordinal):
+        """Inclusion-exclusion split (ref ``rings.py:104``):
+        global = product(sum(term, dims), ordinal);
+        local = term / sum(term, dims)."""
+        assert dims
+        term_sum = self.sumproduct([term], dims)
+        global_part = self.product(term_sum, ordinal)
+        local_part = self.sumproduct([term, self.inv(term_sum)], set())
+        return global_part, local_part

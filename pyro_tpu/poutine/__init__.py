@@ -21,6 +21,7 @@ from .handlers import (
     block,
     condition,
     do,
+    enum,
     escape,
     infer_config,
     lift,
@@ -32,6 +33,7 @@ from .handlers import (
     trace,
     uncondition,
 )
+from .enum_messenger import EnumMessenger, MarkovMessenger, markov
 from .messenger import Messenger, block_messengers
 from .plate_messenger import PlateMessenger, plate_stack
 from .runtime import (
@@ -53,6 +55,8 @@ plate = PlateMessenger
 
 __all__ = [
     "CondIndepStackFrame",
+    "EnumMessenger",
+    "MarkovMessenger",
     "Messenger",
     "NonlocalExit",
     "PlateMessenger",
@@ -65,12 +69,14 @@ __all__ = [
     "block_messengers",
     "condition",
     "do",
+    "enum",
     "effectful",
     "escape",
     "get_mask",
     "get_plates",
     "infer_config",
     "lift",
+    "markov",
     "mask",
     "plate",
     "plate_stack",

@@ -435,3 +435,10 @@ lift = _make_handler(LiftMessenger, "lift")
 infer_config = _make_handler(InferConfigMessenger, "infer_config")
 escape = _make_handler(EscapeMessenger, "escape")
 seed = _make_handler(SeedMessenger, "seed")
+
+
+def enum(fn=None, first_available_dim=None):
+    from .enum_messenger import EnumMessenger
+
+    msngr = EnumMessenger(first_available_dim=first_available_dim)
+    return msngr if fn is None else msngr(fn)

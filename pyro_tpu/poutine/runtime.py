@@ -146,11 +146,13 @@ class _EnumAllocator:
         id_ = self.next_available_id
         self.next_available_id += 1
         if scope_dims is None:
+            # global dim: never recycled; recorded in dim_to_id
             self.next_available_dim -= 1
+            self.dim_to_id[dim] = id_
         else:
+            # local dim: recyclable by sites whose scope excludes this one
             while dim in scope_dims:
                 dim -= 1
-        self.dim_to_id[dim] = id_
         return dim, id_
 
 

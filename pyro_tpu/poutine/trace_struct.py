@@ -103,6 +103,77 @@ class Trace:
                 site["log_prob"] = parts.log_prob
                 site["log_prob_sum"] = jnp.sum(parts.log_prob)
 
+    # -- packed named-dim representation (enumeration engine) ----------------
+    def symbolize_dims(self, plate_to_symbol=None) -> None:
+        """Assign unique symbols to all plate and enum dims
+        (ref ``trace_struct.py:398``): plates get even opt_einsum symbols,
+        enum ids odd ones."""
+        import opt_einsum
+
+        plate_to_symbol = {} if plate_to_symbol is None else plate_to_symbol
+        symbol_to_dim = {}
+        for site in self.nodes.values():
+            if site["type"] != "sample":
+                continue
+            dim_to_symbol = {}
+            for frame in site["cond_indep_stack"]:
+                if frame.dim is not None:
+                    if frame.name not in plate_to_symbol:
+                        plate_to_symbol[frame.name] = opt_einsum.get_symbol(
+                            2 * len(plate_to_symbol)
+                        )
+                    symbol = plate_to_symbol[frame.name]
+                    dim_to_symbol[frame.dim] = symbol
+                    symbol_to_dim[symbol] = frame.dim
+            for dim, id_ in site["infer"].get("_dim_to_id", {}).items():
+                symbol = opt_einsum.get_symbol(1 + 2 * id_)
+                dim_to_symbol[dim] = symbol
+                symbol_to_dim[symbol] = dim
+                if dim == site["infer"].get("_enumerate_dim"):
+                    site["infer"]["_enumerate_symbol"] = symbol
+            site["infer"]["_dim_to_symbol"] = dim_to_symbol
+        self.plate_to_symbol = plate_to_symbol
+        self.symbol_to_dim = symbol_to_dim
+
+    def pack_tensors(self, plate_to_symbol=None) -> None:
+        """Compute packed representations of log_prob/score_parts/mask at
+        each site (ref ``trace_struct.py:435``)."""
+        from ..ops import packed as packed_ops
+
+        self.symbolize_dims(plate_to_symbol)
+        for site in self.nodes.values():
+            if site["type"] != "sample":
+                continue
+            dim_to_symbol = site["infer"]["_dim_to_symbol"]
+            p = site["packed"] = {}
+            mask = site["mask"]
+            if mask is not None and not isinstance(mask, bool):
+                p["mask"] = packed_ops.pack(mask, dim_to_symbol)
+            else:
+                p["mask"] = mask
+            if "log_prob" in site:
+                p["log_prob"] = packed_ops.pack(
+                    site["log_prob"], dim_to_symbol
+                )
+                p["unscaled_log_prob"] = packed_ops.pack(
+                    site["unscaled_log_prob"], dim_to_symbol
+                )
+            if "score_parts" in site:
+                parts = site["score_parts"]
+                from ..distributions.util import is_identically_zero
+
+                p["score_parts"] = type(parts)(
+                    p.get("log_prob"),
+                    parts.score_function
+                    if is_identically_zero(parts.score_function)
+                    else packed_ops.pack(
+                        parts.score_function, dim_to_symbol
+                    ),
+                    parts.entropy_term
+                    if is_identically_zero(parts.entropy_term)
+                    else packed_ops.pack(parts.entropy_term, dim_to_symbol),
+                )
+
     # -- introspection -------------------------------------------------------
     def stochastic_nodes(self):
         return [
