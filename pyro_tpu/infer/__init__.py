@@ -9,6 +9,17 @@ from .autoguide import (
 )
 from .elbo import ELBO, JitTrace_ELBO, Trace_ELBO, TraceMeanField_ELBO
 from .discrete import infer_discrete
+from .importance import (
+    CSIS,
+    Importance,
+    ReweightedWakeSleep,
+    psis_diagnostic,
+    vectorized_importance_weights,
+)
+from .renyi_elbo import RenyiELBO
+from .smcfilter import SMCFailed, SMCFilter, SMCState
+from .svgd import IMQSteinKernel, RBFSteinKernel, SVGD
+from .tracegraph_elbo import TraceGraph_ELBO
 from .enum import config_enumerate, get_importance_trace
 from .traceenum_elbo import JitTraceEnum_ELBO, TraceEnum_ELBO
 from .mcmc import HMC, MCMC, NUTS
@@ -23,19 +34,32 @@ __all__ = [
     "AutoLowRankMultivariateNormal",
     "AutoMultivariateNormal",
     "AutoNormal",
+    "CSIS",
     "ELBO",
+    "IMQSteinKernel",
+    "Importance",
     "HMC",
     "JitTrace_ELBO",
     "MCMC",
     "MHResampler",
     "NUTS",
     "Predictive",
+    "RBFSteinKernel",
+    "RenyiELBO",
+    "ReweightedWakeSleep",
+    "SMCFailed",
+    "SMCFilter",
+    "SMCState",
+    "SVGD",
     "SVI",
     "TraceEnum_ELBO",
+    "TraceGraph_ELBO",
     "Trace_ELBO",
     "TraceMeanField_ELBO",
     "WeighedPredictive",
     "config_enumerate",
     "get_importance_trace",
     "infer_discrete",
+    "psis_diagnostic",
+    "vectorized_importance_weights",
 ]
