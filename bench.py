@@ -133,13 +133,15 @@ def measure_ours() -> float:
         jax.random.uniform(jax.random.key(0), (BATCH, X_DIM)) < 0.5
     ).astype(jnp.float32)
     svi = SVI(model, guide, Adam({"lr": 1e-3}), Trace_ELBO())
-    for _ in range(3):  # compile + warmup
-        svi.step(x)
-    n = 300
+    # compile + warmup: one scanned block of the same length as the
+    # measured one (jit caches on num_steps)
+    n = 500
+    svi.run_steps(n, x)
     t0 = time.perf_counter()
-    for _ in range(n):
-        svi.step(x)
-    return n / (time.perf_counter() - t0)
+    losses = svi.run_steps(n, x)
+    dt = time.perf_counter() - t0
+    assert float(losses[-1]) == float(losses[-1])  # finite sync
+    return n / dt
 
 
 def main() -> None:

@@ -3,7 +3,7 @@
 Catalog parity target: ``/root/reference/pyro/distributions/__init__.py``.
 """
 
-from . import constraints, transforms
+from . import constraints, flows, transforms
 from .conjugate import BetaBinomial, DirichletMultinomial, GammaPoisson
 from .continuous import (
     AsymmetricLaplace,
@@ -60,6 +60,7 @@ from .transforms import biject_to, transform_to
 from .util import enable_validation, is_validation_enabled
 
 __all__ = [
+    "flows",
     "AsymmetricLaplace",
     "Bernoulli",
     "Beta",

@@ -3,9 +3,11 @@ from .autoguide import (
     AutoDiagonalNormal,
     AutoGuide,
     AutoGuideList,
+    AutoIAFNormal,
     AutoLowRankMultivariateNormal,
     AutoMultivariateNormal,
     AutoNormal,
+    AutoNormalizingFlow,
 )
 from .elbo import ELBO, JitTrace_ELBO, Trace_ELBO, TraceMeanField_ELBO
 from .discrete import infer_discrete
@@ -31,9 +33,11 @@ __all__ = [
     "AutoDiagonalNormal",
     "AutoGuide",
     "AutoGuideList",
+    "AutoIAFNormal",
     "AutoLowRankMultivariateNormal",
     "AutoMultivariateNormal",
     "AutoNormal",
+    "AutoNormalizingFlow",
     "CSIS",
     "ELBO",
     "IMQSteinKernel",

@@ -4,9 +4,11 @@ from .guides import (
     AutoDiagonalNormal,
     AutoGuide,
     AutoGuideList,
+    AutoIAFNormal,
     AutoLowRankMultivariateNormal,
     AutoMultivariateNormal,
     AutoNormal,
+    AutoNormalizingFlow,
 )
 from .initialization import (
     init_to_feasible,
@@ -23,9 +25,11 @@ __all__ = [
     "AutoDiagonalNormal",
     "AutoGuide",
     "AutoGuideList",
+    "AutoIAFNormal",
     "AutoLowRankMultivariateNormal",
     "AutoMultivariateNormal",
     "AutoNormal",
+    "AutoNormalizingFlow",
     "init_to_feasible",
     "init_to_mean",
     "init_to_median",

@@ -460,6 +460,67 @@ class AutoMultivariateNormal(AutoContinuous):
         return store[f"{self._name}.loc"], jnp.sqrt(jnp.sum(L**2, -1))
 
 
+class AutoNormalizingFlow(AutoContinuous):
+    """Posterior = flow-transformed standard normal
+    (ref ``guides.py:1032``)."""
+
+    def __init__(self, model, init_transform_fn, init_loc_fn=init_to_median):
+        super().__init__(model, init_loc_fn)
+        self._init_transform_fn = init_transform_fn
+
+    def get_posterior(self, *args, **kwargs):
+        transforms = self._init_transform_fn(self.latent_dim)
+        if not isinstance(transforms, (list, tuple)):
+            transforms = [transforms]
+        base = Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
+        return TransformedDistribution(base, list(transforms))
+
+    def _loc_scale_params(self):
+        raise NotImplementedError(
+            "median/quantiles are undefined for flow posteriors; use "
+            "Predictive samples"
+        )
+
+
+class AutoIAFNormal(AutoNormalizingFlow):
+    """IAF posterior (ref ``guides.py:1079``)."""
+
+    def __init__(
+        self,
+        model,
+        hidden_dim=None,
+        num_transforms: int = 1,
+        init_loc_fn=init_to_median,
+        **kwargs,
+    ):
+        self._hidden_dim = hidden_dim
+        self._num_transforms = num_transforms
+        self._flow_kwargs = kwargs
+
+        def init_transform_fn(latent_dim):
+            from ...distributions.flows import affine_autoregressive
+
+            if latent_dim == 1:
+                raise ValueError(
+                    "latent dim = 1: AutoIAFNormal needs >= 2 latent "
+                    "dimensions; use AutoNormal instead"
+                )
+            hidden = (
+                [3 * latent_dim + 1]
+                if self._hidden_dim is None
+                else [self._hidden_dim]
+            )
+            return [
+                affine_autoregressive(
+                    f"{self._name}.flow{i}", latent_dim, hidden,
+                    **self._flow_kwargs,
+                )
+                for i in range(self._num_transforms)
+            ]
+
+        super().__init__(model, init_transform_fn, init_loc_fn)
+
+
 class AutoLowRankMultivariateNormal(AutoContinuous):
     """Ref ``guides.py:965``."""
 

@@ -150,6 +150,52 @@ class SVI:
         store.set_all_unconstrained(new_params)
         return float(jax.device_get(loss_val))
 
+    def run_steps(self, num_steps: int, *args, rng_key=None, **kwargs):
+        """Run ``num_steps`` optimization steps as ONE compiled program
+        (``lax.scan`` over the update), returning the per-step losses.
+
+        TPU-native addition: a Python ``step`` loop pays one host↔device
+        round trip per step; this amortizes dispatch to a single launch —
+        the intended hot path for production training."""
+        key = self._next_key(rng_key)
+        store = get_param_store()
+        if not self._initialized:
+            self._init(key, args, kwargs)
+        params = store.get_all_unconstrained()
+        if tuple(sorted(params)) != self._param_names:
+            self._init(key, args, kwargs)
+            params = store.get_all_unconstrained()
+        update = self._update_fn
+
+        @jax.jit
+        def scan_steps(params, opt_state, key, args, kwargs):
+            keys = jax.random.split(key, num_steps)
+
+            def body(carry, k):
+                params, opt_state = carry
+                loss, params, opt_state = update(
+                    params, opt_state, k, args, kwargs
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, losses
+
+        try:
+            new_params, self._opt_state, losses = scan_steps(
+                params, self._opt_state, key, args, kwargs
+            )
+        except _MissingParam:
+            self._init(key, args, kwargs)
+            params = store.get_all_unconstrained()
+            new_params, self._opt_state, losses = scan_steps(
+                params, self._opt_state, key, args, kwargs
+            )
+        store.set_all_unconstrained(new_params)
+        return jax.device_get(losses)
+
     def evaluate_loss(self, *args, rng_key=None, **kwargs) -> float:
         """Loss without an optimization step (ref ``svi.py:108``)."""
         key = self._next_key(rng_key)
