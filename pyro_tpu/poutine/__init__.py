@@ -36,6 +36,7 @@ from .handlers import (
 from .enum_messenger import EnumMessenger, MarkovMessenger, markov
 from .messenger import Messenger, block_messengers
 from .plate_messenger import PlateMessenger, plate_stack
+from .reparam_messenger import ReparamMessenger, reparam
 from .runtime import (
     _DIM_ALLOCATOR,
     _ENUM_ALLOCATOR,
@@ -80,6 +81,8 @@ __all__ = [
     "mask",
     "plate",
     "plate_stack",
+    "reparam",
+    "ReparamMessenger",
     "prune_subsample_sites",
     "replay",
     "scale",
