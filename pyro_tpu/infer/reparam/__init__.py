@@ -8,6 +8,7 @@ from .softmax import GumbelSoftmaxReparam
 from .projected_normal import ProjectedNormalReparam
 from .split import SplitReparam
 from .neutra import NeuTraReparam
+from .stable import StableReparam, SymmetricStableReparam
 from .strategies import AutoReparam, MinimalReparam
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "ProjectedNormalReparam",
     "Reparam",
     "SplitReparam",
+    "StableReparam",
+    "SymmetricStableReparam",
     "TransformReparam",
     "UnitJacobianReparam",
 ]

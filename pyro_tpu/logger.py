@@ -1,0 +1,11 @@
+"""Default logger (ref ``pyro/logger.py``)."""
+
+import logging
+
+default_format = "%(levelname)s \t %(message)s"
+log = logging.getLogger("pyro_tpu")
+log.setLevel(logging.INFO)
+if not log.handlers:
+    _handler = logging.StreamHandler()
+    _handler.setFormatter(logging.Formatter(default_format))
+    log.addHandler(_handler)
