@@ -1,0 +1,5 @@
+"""Automatic site naming (ref ``pyro/contrib/autoname``)."""
+
+from .scoping import name_count, scope
+
+__all__ = ["name_count", "scope"]

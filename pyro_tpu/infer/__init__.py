@@ -24,7 +24,7 @@ from .svgd import IMQSteinKernel, RBFSteinKernel, SVGD
 from .tracegraph_elbo import TraceGraph_ELBO
 from .enum import config_enumerate, get_importance_trace
 from .traceenum_elbo import JitTraceEnum_ELBO, TraceEnum_ELBO
-from .mcmc import HMC, MCMC, NUTS
+from .mcmc import HMC, MCMC, NUTS, RandomWalkKernel, StreamingMCMC
 from .predictive import MHResampler, Predictive, WeighedPredictive
 from .svi import SVI
 
@@ -48,12 +48,14 @@ __all__ = [
     "MHResampler",
     "NUTS",
     "Predictive",
+    "RandomWalkKernel",
     "RBFSteinKernel",
     "RenyiELBO",
     "ReweightedWakeSleep",
     "SMCFailed",
     "SMCFilter",
     "SMCState",
+    "StreamingMCMC",
     "SVGD",
     "SVI",
     "TraceEnum_ELBO",

@@ -1,3 +1,9 @@
+from .effect import (
+    AutoHierarchicalNormalMessenger,
+    AutoMessenger,
+    AutoNormalMessenger,
+    AutoRegressiveMessenger,
+)
 from .guides import (
     AutoContinuous,
     AutoDelta,
@@ -20,6 +26,10 @@ from .initialization import (
 )
 
 __all__ = [
+    "AutoHierarchicalNormalMessenger",
+    "AutoMessenger",
+    "AutoNormalMessenger",
+    "AutoRegressiveMessenger",
     "AutoContinuous",
     "AutoDelta",
     "AutoDiagonalNormal",

@@ -92,6 +92,7 @@ class ELBO:
             ):
                 return fn(*args, **kwargs)
 
+        wrapped_fn._pyro_unwrapped = fn  # for GuideMessenger dispatch
         return wrapped_fn
 
     def _setup(self, model, guide, args, kwargs):

@@ -37,18 +37,34 @@ def get_importance_trace(
         rng_key = _next_eager_key()
     key_guide, key_model = jax.random.split(rng_key)
 
-    guide_fn = poutine.seed(rng_key=key_guide)(guide)
-    guide_trace = poutine.trace(guide_fn, graph_type=graph_type).get_trace(
-        *args, **kwargs
-    )
-    if detach:
-        guide_trace = _detach_trace_values(guide_trace)
-    model_fn = poutine.seed(rng_key=key_model)(
-        poutine.replay(model, trace=guide_trace)
-    )
-    model_trace = poutine.trace(model_fn, graph_type=graph_type).get_trace(
-        *args, **kwargs
-    )
+    from ..poutine.guide import GuideMessenger
+
+    unwrapped_guide = guide
+    while hasattr(unwrapped_guide, "_pyro_unwrapped"):
+        unwrapped_guide = unwrapped_guide._pyro_unwrapped
+    if isinstance(unwrapped_guide, GuideMessenger):
+        # effect guide: one call produces both traces
+        # (ref ``infer/enum.py:53-58``)
+        if detach:
+            raise NotImplementedError(
+                "GuideMessenger does not support detach"
+            )
+        with SeedMessenger(rng_key=key_guide):
+            guide(*args, **kwargs)
+        model_trace, guide_trace = unwrapped_guide.get_traces()
+    else:
+        guide_fn = poutine.seed(rng_key=key_guide)(guide)
+        guide_trace = poutine.trace(
+            guide_fn, graph_type=graph_type
+        ).get_trace(*args, **kwargs)
+        if detach:
+            guide_trace = _detach_trace_values(guide_trace)
+        model_fn = poutine.seed(rng_key=key_model)(
+            poutine.replay(model, trace=guide_trace)
+        )
+        model_trace = poutine.trace(
+            model_fn, graph_type=graph_type
+        ).get_trace(*args, **kwargs)
 
     from .util import is_validation_enabled
 

@@ -34,6 +34,7 @@ from .handlers import (
     uncondition,
 )
 from .enum_messenger import EnumMessenger, MarkovMessenger, markov
+from .guide import GuideMessenger
 from .messenger import Messenger, block_messengers
 from .plate_messenger import PlateMessenger, plate_stack
 from .reparam_messenger import ReparamMessenger, reparam
@@ -57,6 +58,7 @@ plate = PlateMessenger
 __all__ = [
     "CondIndepStackFrame",
     "EnumMessenger",
+    "GuideMessenger",
     "MarkovMessenger",
     "Messenger",
     "NonlocalExit",

@@ -112,3 +112,39 @@ def test_mass_matrix_adaptation_helps_scaling():
     mcmc = run_mcmc(NUTS, model, num_samples=800, warmup=800)
     x = np.asarray(mcmc.get_samples()["x"])
     assert np.allclose(x.std(0), np.asarray(scales), rtol=0.3)
+
+
+def test_random_walk_kernel():
+    from pyro_tpu.infer.mcmc import RandomWalkKernel
+
+    def model():
+        pyro.sample("x", dist.Normal(1.0, 2.0))
+
+    mcmc = MCMC(
+        RandomWalkKernel(model),
+        num_samples=3000,
+        warmup_steps=1500,
+        num_chains=2,
+    )
+    mcmc.run(rng_key=jax.random.key(0))
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert np.abs(x.mean() - 1.0) < 0.3
+    assert np.abs(x.std() - 2.0) < 0.4
+    # adapted acceptance near 0.234
+    acc = float(np.asarray(mcmc.last_state.mean_accept_prob).mean())
+    assert 0.1 < acc < 0.5, acc
+
+
+def test_streaming_mcmc():
+    from pyro_tpu.infer.mcmc import StreamingMCMC
+
+    def model():
+        pyro.sample("x", dist.Normal(2.0, 1.0))
+
+    smc = StreamingMCMC(
+        NUTS(model), num_samples=800, warmup_steps=500, num_chains=2
+    )
+    smc.run(rng_key=jax.random.key(0))
+    stats = smc.get_statistics()
+    assert np.abs(np.asarray(stats["unconstrained_mean"]).mean() - 2.0) < 0.25
+    assert np.abs(np.asarray(stats["unconstrained_variance"]).mean() - 1.0) < 0.4
