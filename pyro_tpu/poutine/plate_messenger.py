@@ -151,10 +151,21 @@ class PlateMessenger(Messenger):
     def __iter__(self):
         if self.size == -1:
             raise ValueError(f"plate '{self.name}' needs a size to iterate")
-        indices = self._subsample_site()
         import numpy as np
 
-        indices = np.asarray(jax.device_get(indices))
+        if self.subsample_size >= self.size and self._given_subsample is None:
+            # host-side indices: a Python loop needs concrete ints, and jnp
+            # ops are tracers under jit even for constants
+            indices = np.arange(self.size)
+        else:
+            indices = self._subsample_site()
+            if isinstance(indices, jax.core.Tracer):
+                raise ValueError(
+                    f"sequential plate('{self.name}') with subsampling "
+                    "cannot run under jit: indices are data-dependent. "
+                    "Subsample outside jit or use a vectorized plate."
+                )
+            indices = np.asarray(jax.device_get(indices))
         for i in indices:
             yield int(i)
 

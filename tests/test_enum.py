@@ -319,3 +319,19 @@ def test_infer_discrete_chain_posterior_sampling():
     total = sum(joint.values())
     p_z0_1 = sum(v for k, v in joint.items() if k[0] == 1) / total
     assert abs(counts[1] / n - p_z0_1) < 0.12, (counts[1] / n, p_z0_1)
+
+
+def test_hmm_example_models_train():
+    """examples/hmm.py models 0-2 run end-to-end (smoke, tiny shapes)."""
+    import sys, types, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from examples import hmm as hmm_example
+
+    args = types.SimpleNamespace(
+        model=1, hidden_dim=3, num_sequences=4, max_length=6,
+        data_dim=4, num_steps=3, learning_rate=0.05, seed=0,
+    )
+    for m in (0, 1, 2):
+        pyro.clear_param_store()
+        args.model = m
+        hmm_example.main(args)
