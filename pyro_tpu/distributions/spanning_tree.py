@@ -1,0 +1,360 @@
+"""Distribution over labeled spanning trees.
+
+Ref ``pyro/distributions/spanning_tree.py`` (+ the 226-line C++ extension
+``spanning_tree.cpp``, the reference's only native component).
+
+Architecture: ``log_prob`` is pure JAX (edge-logit sum minus the
+matrix-tree-theorem log partition — a differentiable batched ``slogdet`` of
+the Laplacian minor that runs on device); the sequential graph samplers
+(greedy init, single-site Gibbs, greedy MAP) are host-side, implemented in
+C++ (``ops/csrc/spanning_tree.cpp``, compiled on first use with g++ and
+bound via ctypes) with pure-Python fallbacks for portability — mirroring
+the reference's ``backend="cpp"|"python"`` switch.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constraints
+from .distribution import Distribution
+
+_CPP_LIB = None
+_CPP_FAILED = False
+
+
+def _load_cpp():
+    """Compile + load the C++ sampler library on first use (analog of the
+    reference's torch cpp_extension JIT load, ``spanning_tree.py:225-241``)."""
+    global _CPP_LIB, _CPP_FAILED
+    if _CPP_LIB is not None or _CPP_FAILED:
+        return _CPP_LIB
+    src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "ops",
+        "csrc",
+        "spanning_tree.cpp",
+    )
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), "pyro_tpu_csrc_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, "spanning_tree.so")
+    try:
+        if not os.path.exists(lib_path) or os.path.getmtime(
+            lib_path
+        ) < os.path.getmtime(src):
+            subprocess.run(
+                [
+                    "g++",
+                    "-O2",
+                    "-shared",
+                    "-fPIC",
+                    "-std=c++17",
+                    src,
+                    "-o",
+                    lib_path,
+                ],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        lib.make_complete_graph.restype = ctypes.c_int64
+        _CPP_LIB = lib
+    except Exception:
+        _CPP_FAILED = True
+        _CPP_LIB = None
+    return _CPP_LIB
+
+
+def make_complete_graph(num_vertices: int, backend: str = "cpp"):
+    """(2, K) edge array of the complete graph (ref
+    ``spanning_tree.py:make_complete_graph``)."""
+    V = num_vertices
+    K = V * (V - 1) // 2
+    lib = _load_cpp() if backend == "cpp" else None
+    if lib is not None:
+        out = np.zeros(2 * K, dtype=np.int64)
+        lib.make_complete_graph(
+            ctypes.c_int64(V),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return jnp.asarray(out.reshape(K, 2).T)
+    pairs = [(v1, v2) for v2 in range(V) for v1 in range(v2)]
+    return jnp.asarray(np.array(pairs).T)
+
+
+def _edge_index(v1, v2):
+    return v1 + v2 * (v2 - 1) // 2
+
+
+def sample_tree_approx(edge_logits, backend: str = "cpp", rng_key=None):
+    """Greedy approximate sample (ref ``sample_tree_approx``)."""
+    K = edge_logits.shape[-1]
+    V = int(round(0.5 + math.sqrt(0.25 + 2 * K)))
+    seed = (
+        int(jax.random.randint(rng_key, (), 0, 2**31 - 1))
+        if rng_key is not None
+        else np.random.randint(2**31 - 1)
+    )
+    logits_np = np.asarray(jax.device_get(edge_logits), dtype=np.float64)
+    lib = _load_cpp() if backend == "cpp" else None
+    if lib is not None:
+        out = np.zeros(2 * (V - 1), dtype=np.int64)
+        lib.sample_tree_approx(
+            ctypes.c_int64(V),
+            logits_np.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_uint64(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        edges = out.reshape(V - 1, 2)
+    else:
+        edges = _py_sample_tree_approx(V, logits_np, seed)
+    edges = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
+    return jnp.asarray(edges)
+
+
+def sample_tree_mcmc(edge_logits, init_edges, steps: int = 1, backend: str = "cpp", rng_key=None):
+    """Single-site Gibbs over tree edges (ref ``sample_tree_mcmc``)."""
+    K = edge_logits.shape[-1]
+    V = int(round(0.5 + math.sqrt(0.25 + 2 * K)))
+    seed = (
+        int(jax.random.randint(rng_key, (), 0, 2**31 - 1))
+        if rng_key is not None
+        else np.random.randint(2**31 - 1)
+    )
+    logits_np = np.asarray(jax.device_get(edge_logits), dtype=np.float64)
+    edges = np.asarray(jax.device_get(init_edges), dtype=np.int64).reshape(
+        V - 1, 2
+    )
+    lib = _load_cpp() if backend == "cpp" else None
+    if lib is not None:
+        buf = np.ascontiguousarray(edges.reshape(-1))
+        lib.sample_tree_mcmc(
+            ctypes.c_int64(V),
+            logits_np.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(steps),
+            ctypes.c_uint64(seed),
+        )
+        edges = buf.reshape(V - 1, 2)
+    else:
+        edges = _py_sample_tree_mcmc(V, logits_np, edges, steps, seed)
+    edges = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
+    return jnp.asarray(edges)
+
+
+def find_best_tree(edge_logits, backend: str = "cpp"):
+    """Greedy maximum spanning tree (ref ``find_best_tree``)."""
+    K = edge_logits.shape[-1]
+    V = int(round(0.5 + math.sqrt(0.25 + 2 * K)))
+    logits_np = np.asarray(jax.device_get(edge_logits), dtype=np.float64)
+    lib = _load_cpp() if backend == "cpp" else None
+    if lib is not None:
+        out = np.zeros(2 * (V - 1), dtype=np.int64)
+        lib.find_best_tree(
+            ctypes.c_int64(V),
+            logits_np.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        edges = out.reshape(V - 1, 2)
+    else:
+        edges = _py_find_best_tree(V, logits_np)
+    edges = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
+    return jnp.asarray(edges)
+
+
+# -- pure-Python fallbacks (ref ``spanning_tree.py:261-339``) -----------------
+
+
+def _py_sample_tree_approx(V, logits, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    root = rng.randint(V)
+    in_tree = [root]
+    out_tree = [v for v in range(V) if v != root]
+    edges = []
+    for _ in range(V - 1):
+        cands = [(u, w) for u in in_tree for w in out_tree]
+        ls = np.array(
+            [logits[_edge_index(min(u, w), max(u, w))] for u, w in cands]
+        )
+        p = np.exp(ls - ls.max())
+        p /= p.sum()
+        c = rng.choice(len(cands), p=p)
+        u, w = cands[c]
+        edges.append((min(u, w), max(u, w)))
+        in_tree.append(w)
+        out_tree.remove(w)
+    return np.array(edges, dtype=np.int64)
+
+
+def _py_sample_tree_mcmc(V, logits, edges, steps, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    edges = [tuple(e) for e in edges]
+    for _ in range(steps):
+        for drop in range(V - 1):
+            parent = list(range(V))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for e, (a, b) in enumerate(edges):
+                if e == drop:
+                    continue
+                parent[find(a)] = find(b)
+            rep = find(edges[drop][0])
+            side_a = [v for v in range(V) if find(v) == rep]
+            side_b = [v for v in range(V) if find(v) != rep]
+            cands = [(u, w) for u in side_a for w in side_b]
+            ls = np.array(
+                [logits[_edge_index(min(u, w), max(u, w))] for u, w in cands]
+            )
+            p = np.exp(ls - ls.max())
+            p /= p.sum()
+            c = rng.choice(len(cands), p=p)
+            u, w = cands[c]
+            edges[drop] = (min(u, w), max(u, w))
+    return np.array(edges, dtype=np.int64)
+
+
+def _py_find_best_tree(V, logits):
+    order = np.argsort(-logits)
+    parent = list(range(V))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = []
+    for idx in order:
+        v2 = int((1 + math.sqrt(1 + 8 * idx)) / 2)
+        while v2 * (v2 - 1) // 2 > idx:
+            v2 -= 1
+        while (v2 + 1) * v2 // 2 <= idx:
+            v2 += 1
+        v1 = int(idx - v2 * (v2 - 1) // 2)
+        if find(v1) != find(v2):
+            parent[find(v1)] = find(v2)
+            edges.append((v1, v2))
+            if len(edges) == V - 1:
+                break
+    return np.array(edges, dtype=np.int64)
+
+
+class SpanningTree(Distribution):
+    """Ref ``spanning_tree.py:SpanningTree``.
+
+    ``log_prob`` uses the matrix-tree theorem: log Z = logdet of the
+    Laplacian minor — batched, differentiable, on-device.
+    """
+
+    arg_constraints = {"edge_logits": constraints.real}
+    support = constraints.nonnegative_integer
+    has_enumerate_support = False
+
+    def __init__(self, edge_logits, sampler_options=None):
+        self.edge_logits = jnp.asarray(edge_logits)
+        K = self.edge_logits.shape[-1]
+        V = int(round(0.5 + math.sqrt(0.25 + 2 * K)))
+        assert K == V * (V - 1) // 2, "invalid edge_logits length"
+        self.num_vertices = V
+        self.sampler_options = dict(sampler_options or {})
+        super().__init__(batch_shape=(), event_shape=(V - 1, 2))
+
+    @property
+    def log_partition_function(self):
+        """Matrix-tree theorem (ref ``spanning_tree.py:log_partition``)."""
+        V = self.num_vertices
+        grid = make_complete_graph(V, backend="python")
+        v1, v2 = grid[0], grid[1]
+        w = jnp.exp(
+            self.edge_logits
+            - jax.lax.stop_gradient(self.edge_logits.max())
+        )
+        W = jnp.zeros((V, V))
+        W = W.at[v1, v2].set(w).at[v2, v1].set(w)
+        L = jnp.diag(W.sum(-1)) - W
+        minor = L[1:, 1:]
+        sign, logdet = jnp.linalg.slogdet(minor)
+        shift = jax.lax.stop_gradient(self.edge_logits.max())
+        return logdet + (V - 1) * shift
+
+    def log_prob(self, value):
+        v1 = value[..., 0]
+        v2 = value[..., 1]
+        k = _edge_index(v1, v2)
+        total = jnp.sum(self.edge_logits[k], axis=-1)
+        return total - self.log_partition_function
+
+    def sample(self, key, sample_shape=()):
+        """MCMC-refined sample (host-side sampler; ref ``sample``)."""
+        assert sample_shape == (), "SpanningTree.sample is single-sample"
+        backend = self.sampler_options.get("backend", "cpp")
+        mcmc_steps = int(self.sampler_options.get("mcmc_steps", 1))
+        k1, k2 = jax.random.split(key)
+        init = sample_tree_approx(
+            self.edge_logits, backend=backend, rng_key=k1
+        )
+        return sample_tree_mcmc(
+            self.edge_logits,
+            init,
+            steps=mcmc_steps,
+            backend=backend,
+            rng_key=k2,
+        )
+
+    @property
+    def mode(self):
+        """Greedy MAP tree (ref ``spanning_tree.py:mode``)."""
+        return find_best_tree(
+            self.edge_logits,
+            backend=self.sampler_options.get("backend", "cpp"),
+        )
+
+    def enumerate_support(self, expand=True):
+        """Explicit enumeration for tiny V (ref
+        ``spanning_tree.py:enumerate_support``)."""
+        V = self.num_vertices
+        if V > 5:
+            raise NotImplementedError("enumeration only for V <= 5")
+        import itertools
+
+        trees = []
+        vertices = list(range(V))
+        all_edges = [
+            (v1, v2) for v2 in range(V) for v1 in range(v2)
+        ]
+        for combo in itertools.combinations(all_edges, V - 1):
+            parent = list(range(V))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ok = True
+            for a, b in combo:
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    ok = False
+                    break
+                parent[ra] = rb
+            if ok:
+                trees.append(sorted(combo))
+        return jnp.asarray(np.array(trees, dtype=np.int64))
