@@ -24,6 +24,7 @@ from .primitives import (
 )
 from .poutine.plate_messenger import plate_stack
 from .poutine.enum_messenger import markov
+from .infer.inspect import render_model
 
 __version__ = "0.1.0"
 
@@ -42,6 +43,7 @@ __all__ = [
     "param",
     "plate",
     "plate_stack",
+    "render_model",
     "poutine",
     "sample",
     "set_rng_seed",

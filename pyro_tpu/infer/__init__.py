@@ -18,7 +18,10 @@ from .importance import (
     psis_diagnostic,
     vectorized_importance_weights,
 )
+from .inspect import get_dependencies, get_model_relations, render_model
+from .losses_extra import EnergyDistance, TraceTailAdaptive_ELBO, Trace_MMD
 from .renyi_elbo import RenyiELBO
+from .tracetmc_elbo import TraceTMC_ELBO
 from .smcfilter import SMCFailed, SMCFilter, SMCState
 from .svgd import IMQSteinKernel, RBFSteinKernel, SVGD
 from .tracegraph_elbo import TraceGraph_ELBO
@@ -40,6 +43,7 @@ __all__ = [
     "AutoNormalizingFlow",
     "CSIS",
     "ELBO",
+    "EnergyDistance",
     "IMQSteinKernel",
     "Importance",
     "HMC",
@@ -60,12 +64,18 @@ __all__ = [
     "SVI",
     "TraceEnum_ELBO",
     "TraceGraph_ELBO",
-    "Trace_ELBO",
     "TraceMeanField_ELBO",
+    "TraceTMC_ELBO",
+    "TraceTailAdaptive_ELBO",
+    "Trace_MMD",
+    "Trace_ELBO",
     "WeighedPredictive",
     "config_enumerate",
     "get_importance_trace",
+    "get_dependencies",
+    "get_model_relations",
     "infer_discrete",
     "psis_diagnostic",
+    "render_model",
     "vectorized_importance_weights",
 ]

@@ -80,10 +80,18 @@ class SVI:
     def _init(self, rng_key, args, kwargs) -> None:
         """Eagerly run one loss evaluation to (a) register all params in the
         store, (b) fix max_plate_nesting, (c) init optimizer state."""
-        self.loss_obj._setup(self.model, self.guide, args, kwargs)
-        self.loss_obj.loss(
-            self.model, self.guide, *args, rng_key=rng_key, **kwargs
-        )
+        setup = getattr(self.loss_obj, "_setup", None)
+        if setup is not None:
+            setup(self.model, self.guide, args, kwargs)
+        try:
+            self.loss_obj.loss(
+                self.model, self.guide, *args, rng_key=rng_key, **kwargs
+            )
+        except (ValueError, NotImplementedError):
+            # losses without a unit .loss (e.g. EnergyDistance)
+            self.loss_obj.differentiable_loss(
+                self.model, self.guide, *args, rng_key=rng_key, **kwargs
+            )
         store = get_param_store()
         params = store.get_all_unconstrained()
         if self._opt_state is None:
