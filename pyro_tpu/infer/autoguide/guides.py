@@ -460,6 +460,74 @@ class AutoMultivariateNormal(AutoContinuous):
         return store[f"{self._name}.loc"], jnp.sqrt(jnp.sum(L**2, -1))
 
 
+class AutoLaplaceApproximation(AutoContinuous):
+    """MAP + Laplace covariance (ref ``guides.py:1133``).
+
+    Train with a Delta posterior over the packed latent; then
+    ``laplace_approximation(*args)`` returns an AutoMultivariateNormal
+    whose scale_tril comes from the inverse Hessian of the negative log
+    joint at the MAP."""
+
+    def get_posterior(self, *args, **kwargs):
+        loc = pyro_param(f"{self._name}.loc", self._init_latent)
+        return Delta(loc, event_dim=1)
+
+    def _loc_scale_params(self):
+        from ...params.param_store import get_param_store
+
+        store = get_param_store()
+        loc = store[f"{self._name}.loc"]
+        return loc, jnp.zeros_like(loc)
+
+    def laplace_approximation(self, *args, **kwargs):
+        """Ref ``guides.py:1172``."""
+        from ...params.param_store import get_param_store
+        from ...poutine.util import prune_subsample_sites
+        from ... import poutine
+
+        store = get_param_store()
+        loc = store[f"{self._name}.loc"]
+
+        def neg_log_joint(latent):
+            unconstrained = self._unravel(latent)
+            data = {}
+            log_jac = 0.0
+            for name, u in unconstrained.items():
+                t = self._transforms[name]
+                value = t(u)
+                data[name] = value
+                ladj = t.log_abs_det_jacobian(u, value)
+                log_jac = log_jac + jnp.sum(ladj)
+            cond = poutine.condition(self.model, data=data)
+            tr = poutine.trace(cond).get_trace(*args, **kwargs)
+            tr = prune_subsample_sites(tr)
+            return -(tr.log_prob_sum() + log_jac)
+
+        H = jax.hessian(neg_log_joint)(loc)
+        cov = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[-1]))
+        scale_tril = jnp.linalg.cholesky(cov)
+        guide = AutoMultivariateNormal(self.model, self.init_loc_fn)
+        guide.prototype_trace = self.prototype_trace
+        guide._prototype_frames = self._prototype_frames
+        guide._transforms = self._transforms
+        guide._init_latent = loc
+        guide._unravel = self._unravel
+        guide.latent_dim = self.latent_dim
+        store[f"{guide._name}.loc"] = loc
+        from ...distributions.transforms import SoftplusLowerCholeskyTransform
+
+        # store the unconstrained value of scale_tril under its constraint
+        store._constraints[f"{guide._name}.scale_tril"] = (
+            guide.scale_tril_constraint
+        )
+        from ...distributions.transforms import transform_to
+
+        store._params[
+            f"{guide._name}.scale_tril"
+        ] = transform_to(guide.scale_tril_constraint).inv(scale_tril)
+        return guide
+
+
 class AutoNormalizingFlow(AutoContinuous):
     """Posterior = flow-transformed standard normal
     (ref ``guides.py:1032``)."""
