@@ -323,3 +323,206 @@ class GaussianHMM(HiddenMarkovModel):
     @property
     def variance(self):
         raise NotImplementedError
+
+
+class IndependentHMM(HiddenMarkovModel):
+    """Run independent base HMMs over the rightmost batch dim, giving an
+    event dim over channels (ref ``hmm.py:1141``)."""
+
+    arg_constraints = {}
+
+    def __init__(self, base_dist: HiddenMarkovModel):
+        if base_dist.event_shape[-1] != 1:
+            raise ValueError(
+                "IndependentHMM requires a base with obs_dim=1"
+            )
+        self.base_dist = base_dist
+        batch_shape = base_dist.batch_shape[:-1]
+        num_channels = (
+            base_dist.batch_shape[-1] if base_dist.batch_shape else 1
+        )
+        event_shape = (base_dist.event_shape[0], num_channels)
+        super().__init__(base_dist.duration, batch_shape, event_shape)
+
+    @property
+    def has_rsample(self):  # type: ignore[override]
+        return self.base_dist.has_rsample
+
+    @property
+    def support(self):  # type: ignore[override]
+        return constraints.independent(constraints.real, 2)
+
+    def _to_base(self, value):
+        # (..., T, C) -> (..., C, T, 1)
+        return jnp.moveaxis(value, -1, -2)[..., None]
+
+    def log_prob(self, value):
+        base_value = self._to_base(value)
+        lp = self.base_dist.log_prob(base_value)  # (..., C)
+        return jnp.sum(lp, axis=-1)
+
+    def rsample(self, key, sample_shape=()):
+        x = self.base_dist.rsample(key, sample_shape)  # (..., C, T, 1)
+        return jnp.moveaxis(x[..., 0], -2, -1)  # -> (..., T, C)
+
+    def expand(self, batch_shape, _instance=None):
+        batch_shape = tuple(batch_shape)
+        C = self.event_shape[-1]
+        return IndependentHMM(self.base_dist.expand(batch_shape + (C,)))
+
+
+class LinearHMM(HiddenMarkovModel):
+    """HMM with linear dynamics and arbitrarily-distributed noise
+    (ref ``hmm.py:939``): supports heavy-tailed (Stable, StudentT) and
+    transformed noise.  ``log_prob`` is intractable — reparameterize with
+    ``pyro_tpu.infer.reparam.LinearHMMReparam``, which rewrites the site
+    into a tractable GaussianHMM plus auxiliary noise sites.
+    """
+
+    arg_constraints = {}
+    has_rsample = True
+    support = constraints.independent(constraints.real, 2)
+
+    def __init__(
+        self,
+        initial_dist,
+        transition_matrix,
+        transition_dist,
+        observation_matrix,
+        observation_dist,
+        duration=None,
+    ):
+        hidden_dim, obs_dim = observation_matrix.shape[-2:]
+        self.hidden_dim = hidden_dim
+        self.obs_dim = obs_dim
+        shape = broadcast_shape(
+            initial_dist.batch_shape + (1,),
+            transition_matrix.shape[:-2],
+            transition_dist.batch_shape,
+            observation_matrix.shape[:-2],
+            observation_dist.batch_shape,
+        )
+        batch_shape, time_shape = shape[:-1], shape[-1:]
+        event_shape = tuple(time_shape) + (obs_dim,)
+        super().__init__(duration, batch_shape, event_shape)
+        self.initial_dist = initial_dist
+        self.transition_matrix = transition_matrix
+        self.transition_dist = transition_dist
+        self.observation_matrix = observation_matrix
+        self.observation_dist = observation_dist
+        # unpack observation transforms (for LinearHMMReparam)
+        from .distribution import TransformedDistribution
+
+        self.transforms = []
+        obs_base = observation_dist
+        if isinstance(obs_base, TransformedDistribution):
+            self.transforms = obs_base.transforms
+            self.observation_dist = obs_base.base_dist
+
+    def log_prob(self, value):
+        raise NotImplementedError(
+            "LinearHMM.log_prob is intractable; use LinearHMMReparam"
+        )
+
+    def rsample(self, key, sample_shape=()):
+        assert self.duration is not None
+        T = self.duration
+        ks = jax.random.split(key, 4)
+        init = self.initial_dist.rsample(
+            ks[0], tuple(sample_shape) + self.batch_shape
+        )
+        trans_shape = (
+            tuple(sample_shape) + self.batch_shape + (T,)
+        )
+        trans_noise = self.transition_dist.expand(
+            broadcast_shape(self.transition_dist.batch_shape, (T,))
+        ).rsample(ks[1], tuple(sample_shape) + self.batch_shape)
+        obs_noise = self.observation_dist.expand(
+            broadcast_shape(self.observation_dist.batch_shape, (T,))
+        ).rsample(ks[2], tuple(sample_shape) + self.batch_shape)
+        tm = jnp.broadcast_to(
+            self.transition_matrix,
+            broadcast_shape(self.transition_matrix.shape[:-2], (T,))
+            + self.transition_matrix.shape[-2:],
+        )
+        om = jnp.broadcast_to(
+            self.observation_matrix,
+            broadcast_shape(self.observation_matrix.shape[:-2], (T,))
+            + self.observation_matrix.shape[-2:],
+        )
+
+        def step(z, inputs):
+            tm_t, om_t, tn_t, on_t = inputs
+            z = jnp.einsum("...i,...ij->...j", z, tm_t) + tn_t
+            x = jnp.einsum("...i,...ij->...j", z, om_t) + on_t
+            return z, x
+
+        tn = jnp.moveaxis(trans_noise, -2, 0)
+        on = jnp.moveaxis(obs_noise, -2, 0)
+        tm_t = jnp.moveaxis(tm, -3, 0) if tm.ndim > 2 else jnp.broadcast_to(tm, (T,) + tm.shape[-2:])
+        om_t = jnp.moveaxis(om, -3, 0) if om.ndim > 2 else jnp.broadcast_to(om, (T,) + om.shape[-2:])
+        _, xs = jax.lax.scan(step, init, (tm_t, om_t, tn, on))
+        x = jnp.moveaxis(xs, 0, -2)
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+    def expand(self, batch_shape, _instance=None):
+        raise NotImplementedError(
+            "expand LinearHMM via LinearHMMReparam instead"
+        )
+
+
+class GaussianMRF(Distribution):
+    """Temporal Gaussian Markov random field (ref ``hmm.py:1201``)."""
+
+    arg_constraints = {}
+    support = constraints.independent(constraints.real, 2)
+
+    def __init__(self, initial_dist, transition_dist, observation_dist, duration=None):
+        assert initial_dist.event_dim == 1
+        assert transition_dist.event_dim == 1
+        assert observation_dist.event_dim == 1
+        hidden_dim = initial_dist.event_shape[0]
+        obs_dim = observation_dist.event_shape[0] - hidden_dim
+        assert obs_dim > 0
+        shape = broadcast_shape(
+            initial_dist.batch_shape + (1,),
+            transition_dist.batch_shape,
+            observation_dist.batch_shape,
+        )
+        batch_shape, time_shape = shape[:-1], shape[-1:]
+        event_shape = tuple(time_shape) + (obs_dim,)
+        self.hidden_dim = hidden_dim
+        self.obs_dim = obs_dim
+        self._init = mvn_to_gaussian(initial_dist)
+        self._trans = mvn_to_gaussian(transition_dist)
+        self._obs = mvn_to_gaussian(observation_dist)
+        Distribution.__init__(self, batch_shape, event_shape)
+        self._duration = duration
+
+    @property
+    def duration(self):
+        return self._duration
+
+    def log_prob(self, value):
+        # log p(value) = logZ(joint conditioned on obs) - logZ(hidden-only)
+        logp_oh = self._trans + self._obs.condition(value).event_pad(
+            left=self.hidden_dim
+        )
+        logp_h = self._trans + self._obs.marginalize(
+            right=self.obs_dim
+        ).event_pad(left=self.hidden_dim)
+        logp_oh = sequential_gaussian_tensordot(
+            logp_oh.expand(logp_oh.batch_shape)
+        )
+        logp_h = sequential_gaussian_tensordot(
+            logp_h.expand(logp_h.batch_shape)
+        )
+        logp_oh = gaussian_tensordot(
+            self._init, logp_oh, dims=self.hidden_dim
+        )
+        logp_h = gaussian_tensordot(
+            self._init, logp_h, dims=self.hidden_dim
+        )
+        return logp_oh.event_logsumexp() - logp_h.event_logsumexp()

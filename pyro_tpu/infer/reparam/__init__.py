@@ -8,7 +8,9 @@ from .softmax import GumbelSoftmaxReparam
 from .projected_normal import ProjectedNormalReparam
 from .split import SplitReparam
 from .neutra import NeuTraReparam
+from .hmm import LinearHMMReparam
 from .stable import StableReparam, SymmetricStableReparam
+from .studentt import StudentTReparam
 from .strategies import AutoReparam, MinimalReparam
 
 __all__ = [
@@ -16,6 +18,7 @@ __all__ = [
     "DiscreteCosineReparam",
     "GumbelSoftmaxReparam",
     "HaarReparam",
+    "LinearHMMReparam",
     "LocScaleReparam",
     "MinimalReparam",
     "NeuTraReparam",
@@ -23,6 +26,7 @@ __all__ = [
     "Reparam",
     "SplitReparam",
     "StableReparam",
+    "StudentTReparam",
     "SymmetricStableReparam",
     "TransformReparam",
     "UnitJacobianReparam",

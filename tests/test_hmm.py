@@ -192,3 +192,93 @@ def test_gaussian_hmm_filter_runs():
     post = d.filter(value)
     assert post.batch_shape == ()
     assert post.event_shape == (hidden,)
+
+
+def test_independent_hmm():
+    hidden, T, C = 2, 5, 3
+    init = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden))
+    base = dist.GaussianHMM(
+        init.expand((C,)),
+        0.5 * jnp.eye(hidden),
+        dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=0.3 * jnp.eye(hidden)).expand((C, 1)),
+        jnp.ones((hidden, 1)),
+        dist.MultivariateNormal(jnp.zeros(1), covariance_matrix=0.2 * jnp.eye(1)).expand((C, 1)),
+        duration=T,
+    )
+    d = dist.IndependentHMM(base)
+    assert d.event_shape == (T, C)
+    x = d.rsample(KEY)
+    assert x.shape == (T, C)
+    lp = d.log_prob(x)
+    assert lp.shape == ()
+    # equals sum of per-channel log probs
+    per = base.log_prob(jnp.moveaxis(x, -1, 0)[..., None])
+    assert np.allclose(float(lp), float(per.sum()), rtol=1e-4)
+
+
+def test_linear_hmm_reparam_to_gaussian():
+    """LinearHMM with Gaussian parts reparams to an equivalent GaussianHMM."""
+    from pyro_tpu.infer.reparam import LinearHMMReparam
+    import pyro_tpu as pyro
+    from pyro_tpu import poutine
+
+    hidden, obs_d, T = 2, 1, 4
+    init = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden))
+    tm = 0.7 * jnp.eye(hidden)
+    tn = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=0.4 * jnp.eye(hidden)).expand((1,))
+    om = jnp.ones((hidden, obs_d))
+    on = dist.MultivariateNormal(jnp.zeros(obs_d), covariance_matrix=0.2 * jnp.eye(obs_d)).expand((1,))
+    lhmm = dist.LinearHMM(init, tm[None], tn, om[None], on, duration=T)
+    data = jax.random.normal(KEY, (T, obs_d))
+
+    def model():
+        pyro.sample("x", lhmm, obs=data)
+
+    r = poutine.reparam(model, config={"x": LinearHMMReparam()})
+    tr = poutine.trace(poutine.seed(r, 0)).get_trace()
+    tr.compute_log_prob()
+    actual = float(tr.nodes["x"]["log_prob_sum"])
+    ghmm = dist.GaussianHMM(init, tm[None], tn, om[None], on, duration=T)
+    assert np.allclose(actual, float(ghmm.log_prob(data)), rtol=1e-4)
+
+
+def test_linear_hmm_studentt_reparam_trains():
+    """StudentT-noise LinearHMM becomes tractable via StudentTReparam."""
+    from pyro_tpu.infer.reparam import LinearHMMReparam, StudentTReparam
+    import pyro_tpu as pyro
+    from pyro_tpu import poutine
+
+    hidden, obs_d, T = 1, 1, 6
+    init = dist.Normal(jnp.zeros(hidden), 1.0).to_event(1)
+    tn = dist.Normal(jnp.zeros((1, hidden)), 0.5).to_event(1)
+    on = dist.StudentT(4.0, jnp.zeros((1, obs_d)), 0.3).to_event(1)
+    lhmm = dist.LinearHMM(
+        init, 0.8 * jnp.eye(hidden)[None], tn,
+        jnp.ones((hidden, obs_d))[None], on, duration=T,
+    )
+    data = jax.random.normal(KEY, (T, obs_d))
+
+    def model():
+        pyro.sample("x", lhmm, obs=data)
+
+    r = poutine.reparam(
+        model, config={"x": LinearHMMReparam(obs=StudentTReparam())}
+    )
+    tr = poutine.trace(poutine.seed(r, 0)).get_trace()
+    tr.compute_log_prob()
+    assert "x_obs_gamma" in tr
+    assert np.isfinite(float(tr.log_prob_sum()))
+
+
+def test_gaussian_mrf_logprob_finite():
+    hidden, obs_d, T = 2, 1, 4
+    init = dist.MultivariateNormal(jnp.zeros(hidden), covariance_matrix=jnp.eye(hidden))
+    trans = dist.MultivariateNormal(
+        jnp.zeros(2 * hidden), covariance_matrix=jnp.eye(2 * hidden)
+    ).expand((1,))
+    obs = dist.MultivariateNormal(
+        jnp.zeros(hidden + obs_d), covariance_matrix=jnp.eye(hidden + obs_d)
+    ).expand((1,))
+    d = dist.GaussianMRF(init, trans, obs, duration=T)
+    value = jax.random.normal(KEY, (T, obs_d))
+    assert np.isfinite(float(d.log_prob(value)))
