@@ -1,0 +1,13 @@
+"""Forecasting framework (ref ``pyro/contrib/forecast``)."""
+
+from .evaluate import backtest, eval_crps, eval_mae, eval_rmse
+from .forecaster import Forecaster, ForecastingModel
+
+__all__ = [
+    "Forecaster",
+    "ForecastingModel",
+    "backtest",
+    "eval_crps",
+    "eval_mae",
+    "eval_rmse",
+]

@@ -1,0 +1,163 @@
+"""Forecasting models and the Forecaster engine.
+
+Ref ``pyro/contrib/forecast/forecaster.py:37`` (ForecastingModel),
+``:197`` (Forecaster) and ``util.py:113,154`` (PrefixReplay /
+PrefixCondition): training conditions the noise distribution on observed
+residuals; forecasting prefix-conditions the noise distribution on the
+observed window and samples the future.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+import pyro_tpu as pyro
+import pyro_tpu.distributions as dist
+from ... import poutine
+from ...distributions.distribution import Independent
+from ...distributions.hmm import GaussianHMM
+from ...infer import SVI, Trace_ELBO
+from ...infer.autoguide import AutoNormal
+from ...optim import DCTAdam
+
+
+def prefix_condition(d, data, prefix_len: int, duration_total: int):
+    """Conditional distribution of the future given the observed prefix
+    (ref ``forecast/util.py:prefix_condition``).
+
+    Supports GaussianHMM (exact filtering) and Independent Normal noise.
+    """
+    t_future = duration_total - prefix_len
+    if isinstance(d, GaussianHMM):
+        filtered = d.filter(data[..., :prefix_len, :])
+        from ...ops.gaussian import mvn_to_gaussian
+
+        new = GaussianHMM.__new__(GaussianHMM)
+        from ...distributions.distribution import Distribution
+
+        Distribution.__init__(
+            new, d.batch_shape, (t_future, d.obs_dim)
+        )
+        new._duration = t_future
+        new.hidden_dim = d.hidden_dim
+        new.obs_dim = d.obs_dim
+        new._init = mvn_to_gaussian(filtered)
+        new._trans = d._trans
+        new._obs = d._obs
+        new._pyro_init_args = ((), ())
+        return new
+    if isinstance(d, Independent):
+        base = d.base_dist
+        if isinstance(base, dist.Normal):
+            # iid noise over time: the future is independent of the prefix
+            loc = jnp.broadcast_to(
+                base.loc, base.batch_shape
+            )[..., -t_future:, :] if base.loc.ndim >= 2 else base.loc
+            scale = jnp.broadcast_to(
+                base.scale, base.batch_shape
+            )[..., -t_future:, :] if base.scale.ndim >= 2 else base.scale
+            return dist.Normal(loc, scale).to_event(
+                d.reinterpreted_batch_ndims
+            )
+    raise NotImplementedError(
+        f"prefix_condition not implemented for {type(d).__name__}"
+    )
+
+
+class ForecastingModel:
+    """Subclass and implement ``model(zero_data, covariates)`` calling
+    ``self.predict(noise_dist, prediction)`` exactly once
+    (ref ``forecaster.py:37``)."""
+
+    def model(self, zero_data, covariates):
+        raise NotImplementedError
+
+    # -- internals ----------------------------------------------------------
+    def predict(self, noise_dist, prediction) -> None:
+        """Ref ``forecaster.py:111``: during training, observe
+        residual = data - prediction under noise_dist; during forecasting,
+        sample the future residual given the observed prefix."""
+        assert self._data is not None
+        t_obs = self._data.shape[-2]
+        t_total = self._zero_data.shape[-2]
+        if t_obs == t_total:  # training
+            residual = self._data - prediction
+            pyro.sample("residual", noise_dist, obs=residual)
+            self._forecast_value = None
+        else:  # forecasting
+            left = prediction[..., :t_obs, :]
+            residual_obs = self._data - left
+            cond = prefix_condition(
+                noise_dist, residual_obs, t_obs, t_total
+            )
+            noise = pyro.sample("residual", cond)
+            self._forecast_value = (
+                prediction[..., t_obs:, :] + noise
+            )
+
+    def __call__(self, data, covariates):
+        self._data = data
+        t_total = covariates.shape[0] if covariates is not None and covariates.ndim else data.shape[-2]
+        t_total = max(t_total, data.shape[-2])
+        zero_shape = data.shape[:-2] + (t_total,) + data.shape[-1:]
+        self._zero_data = jnp.zeros(zero_shape)
+        self._forecast_value = None
+        self.model(self._zero_data, covariates)
+        return self._forecast_value
+
+
+class Forecaster:
+    """Trains a ForecastingModel with SVI and draws forecasts
+    (ref ``forecaster.py:197``)."""
+
+    def __init__(
+        self,
+        model: ForecastingModel,
+        data,
+        covariates,
+        *,
+        guide=None,
+        learning_rate: float = 0.01,
+        num_steps: int = 1001,
+        optim=None,
+        rng_key=None,
+        **kwargs,
+    ):
+        self.model = model
+        if guide is None:
+            guide = AutoNormal(
+                lambda d, c: model(d, c), init_scale=0.1
+            )
+        self.guide = guide
+        optim = optim or DCTAdam({"lr": learning_rate})
+        svi = SVI(
+            lambda d, c: model(d, c), guide, optim, Trace_ELBO()
+        )
+        self.losses = []
+        for _ in range(num_steps):
+            self.losses.append(svi.step(data, covariates))
+
+    def __call__(self, data, covariates, num_samples: int, rng_key=None):
+        """Sample forecasts over the future window
+        (ref ``forecaster.py:320``): returns
+        (num_samples,) + batch + (t_future, obs_dim)."""
+        if rng_key is None:
+            rng_key = jax.random.key(13)
+        keys = jax.random.split(rng_key, num_samples)
+        outs = []
+        for key in keys:
+            k1, k2 = jax.random.split(key)
+            with poutine.seed(rng_key=k1):
+                guide_trace = poutine.trace(
+                    lambda: self.guide(data, covariates)
+                ).get_trace()
+            with poutine.seed(rng_key=k2):
+                out = poutine.replay(
+                    lambda: self.model(data, covariates),
+                    trace=guide_trace,
+                )()
+            outs.append(out)
+        return jnp.stack(outs)

@@ -80,7 +80,7 @@ class MultivariateNormal(Distribution):
             # cholesky of precision → scale_tril via triangular inversion
             Lp = jnp.linalg.cholesky(precision_matrix)
             n = Lp.shape[-1]
-            eye = jnp.eye(n, dtype=Lp.dtype)
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=Lp.dtype), Lp.shape)
             Linv = jax.scipy.linalg.solve_triangular(Lp, eye, lower=True)
             # scale_tril = cholesky(Sigma) where Sigma = (Lp Lp^T)^{-1}
             # = Linv^T Linv; take cholesky of that (flip trick):

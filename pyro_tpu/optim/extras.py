@@ -101,15 +101,21 @@ def _dct_adam_tx(lr=1e-3, betas=(0.9, 0.999), eps=1e-8, subsample_aware=False):
     b1, b2 = betas
     adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
 
+    def _dct(x):
+        return dct(x) if jnp.ndim(x) >= 1 and x.shape[-1] > 1 else x
+
+    def _idct(x):
+        return idct(x) if jnp.ndim(x) >= 1 and x.shape[-1] > 1 else x
+
     def init_fn(params):
-        freq = jax.tree.map(dct, params)
+        freq = jax.tree.map(_dct, params)
         return adam.init(freq)
 
     def update_fn(updates, state, params=None):
         # dct -> adam moments in frequency space -> idct -> lr scale
-        freq_updates = jax.tree.map(dct, updates)
+        freq_updates = jax.tree.map(_dct, updates)
         scaled, state = adam.update(freq_updates, state, params)
-        out = jax.tree.map(idct, scaled)
+        out = jax.tree.map(_idct, scaled)
         # descend: optax convention adds updates to params
         return jax.tree.map(lambda g: -lr * g, out), state
 

@@ -1,0 +1,123 @@
+"""contrib.forecast tests (mirrors ``tests/contrib/forecast``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyro_tpu as pyro
+import pyro_tpu.distributions as dist
+from pyro_tpu.contrib.forecast import Forecaster, ForecastingModel, backtest
+
+
+class TrendModel(ForecastingModel):
+    """Linear trend + iid Normal noise."""
+
+    def model(self, zero_data, covariates):
+        duration, dim = zero_data.shape[-2:]
+        slope = pyro.sample("slope", dist.Normal(0.0, 1.0))
+        bias = pyro.sample("bias", dist.Normal(0.0, 10.0))
+        prediction = bias + slope * covariates[..., :1]
+        noise_scale = pyro.sample("noise_scale", dist.LogNormal(-2.0, 1.0))
+        noise_dist = dist.Normal(
+            jnp.zeros(zero_data.shape), noise_scale
+        ).to_event(2)
+        self.predict(noise_dist, prediction)
+
+
+class HMMTrendModel(ForecastingModel):
+    """GaussianHMM residuals around a learned level."""
+
+    def model(self, zero_data, covariates):
+        duration, dim = zero_data.shape[-2:]
+        bias = pyro.sample("bias", dist.Normal(0.0, 10.0))
+        prediction = bias * jnp.ones(zero_data.shape)
+        init = dist.Normal(jnp.zeros(1), 1.0).to_event(1)
+        trans_scale = pyro.sample("trans_scale", dist.LogNormal(-2.0, 1.0))
+        obs_scale = pyro.sample("obs_scale", dist.LogNormal(-2.0, 1.0))
+        noise_dist = dist.GaussianHMM(
+            init,
+            jnp.ones((1, 1, 1)),
+            dist.Normal(jnp.zeros((1, 1)), trans_scale).to_event(1),
+            jnp.ones((1, 1, 1)),
+            dist.Normal(jnp.zeros((1, 1)), obs_scale).to_event(1),
+            duration=duration,
+        )
+        self.predict(noise_dist, prediction)
+
+
+def _make_data(T=48):
+    t = jnp.arange(T, dtype=jnp.float32)
+    data = (2.0 + 0.1 * t + 0.2 * jax.random.normal(jax.random.key(0), (T,)))[
+        :, None
+    ]
+    covariates = t[:, None]
+    return data, covariates
+
+
+def test_forecaster_trend():
+    data, covariates = _make_data()
+    T_train = 40
+    model = TrendModel()
+    forecaster = Forecaster(
+        model,
+        data[:T_train],
+        covariates[:T_train],
+        num_steps=2000,
+        learning_rate=0.1,
+    )
+    assert forecaster.losses[-1] < forecaster.losses[0]
+    samples = forecaster(
+        data[:T_train], covariates, num_samples=50,
+        rng_key=jax.random.key(1),
+    )
+    assert samples.shape == (50, 8, 1)
+    truth = np.asarray(data[T_train:, 0])
+    pred = np.asarray(samples.mean(0)[:, 0])
+    assert np.abs(pred - truth).mean() < 1.0, (pred, truth)
+
+
+def test_forecaster_hmm_noise():
+    T = 32
+    walk = jnp.cumsum(
+        0.1 * jax.random.normal(jax.random.key(2), (T,))
+    )
+    data = (1.0 + walk)[:, None]
+    covariates = jnp.zeros((T, 0))
+    T_train = 24
+    model = HMMTrendModel()
+    forecaster = Forecaster(
+        model,
+        data[:T_train],
+        covariates[:T_train],
+        num_steps=400,
+        learning_rate=0.05,
+    )
+    samples = forecaster(
+        data[:T_train],
+        jnp.zeros((T, 0)),
+        num_samples=60,
+        rng_key=jax.random.key(3),
+    )
+    assert samples.shape == (60, T - T_train, 1)
+    # forecast should start near the last observed value (filtered state)
+    first_pred = float(samples.mean(0)[0, 0])
+    last_obs = float(data[T_train - 1, 0])
+    assert abs(first_pred - last_obs) < 0.5
+
+
+def test_backtest():
+    data, covariates = _make_data(T=36)
+    results = backtest(
+        data,
+        covariates,
+        TrendModel,
+        train_window=None,
+        test_window=6,
+        num_samples=20,
+        forecaster_options={"num_steps": 200, "learning_rate": 0.05},
+        rng_key=jax.random.key(4),
+    )
+    assert len(results) >= 1
+    for r in results:
+        assert np.isfinite(r["mae"]) and np.isfinite(r["crps"])
