@@ -1,0 +1,247 @@
+"""Expected information gain estimators.
+
+Ref ``pyro/contrib/oed/eig.py``: ``nmc_eig:268`` (nested Monte Carlo),
+``posterior_eig:442`` (Barber-Agakov bound), ``marginal_eig:555``,
+``vnmc_eig``, ``laplace_eig:29``.
+
+Models take a ``design`` argument; ``observation_labels`` and
+``target_labels`` name the observed / target sites.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from ... import poutine
+from ...poutine.util import prune_subsample_sites
+
+
+def _as_list(x) -> List[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _trace_model(model, design, key):
+    tr = poutine.trace(
+        poutine.seed(model, rng_key=key)
+    ).get_trace(design)
+    return prune_subsample_sites(tr)
+
+
+def _site_logprob_sum(trace, labels):
+    trace.compute_log_prob()
+    total = 0.0
+    for name in labels:
+        total = total + trace.nodes[name]["log_prob"]
+    return total
+
+
+def nmc_eig(
+    model,
+    design,
+    observation_labels,
+    target_labels,
+    N: int = 100,
+    M: int = 10,
+    rng_key=None,
+    **kwargs,
+):
+    """Nested Monte Carlo EIG (ref ``eig.py:268``):
+    EIG = E_N[ log p(y|theta,d) - log (1/M sum_m p(y|theta_m,d)) ]."""
+    observation_labels = _as_list(observation_labels)
+    target_labels = _as_list(target_labels)
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    keys_outer = jax.random.split(rng_key, N)
+
+    def outer(key):
+        k1, k2 = jax.random.split(key)
+        tr = _trace_model(model, design, k1)
+        cond_lp = _site_logprob_sum(tr, observation_labels)
+        y_data = {
+            name: tr.nodes[name]["value"] for name in observation_labels
+        }
+        # inner: marginal over fresh theta draws
+        keys_inner = jax.random.split(k2, M)
+
+        def inner(ki):
+            cond = poutine.condition(model, data=y_data)
+            tri = poutine.trace(
+                poutine.seed(cond, rng_key=ki)
+            ).get_trace(design)
+            tri = prune_subsample_sites(tri)
+            return _site_logprob_sum(tri, observation_labels)
+
+        inner_lps = jax.vmap(inner)(keys_inner)
+        marg_lp = logsumexp(inner_lps, axis=0) - jnp.log(float(M))
+        return cond_lp - marg_lp
+
+    vals = jax.vmap(outer)(keys_outer)
+    return jnp.mean(vals, axis=0)
+
+
+def marginal_eig(
+    model,
+    design,
+    observation_labels,
+    target_labels,
+    num_samples: int = 100,
+    num_steps: int = 0,
+    guide=None,
+    optim=None,
+    rng_key=None,
+    **kwargs,
+):
+    """Marginal-likelihood-bound EIG (ref ``eig.py:555``) — without a
+    learned marginal guide this reduces to nmc with shared inner samples."""
+    return nmc_eig(
+        model,
+        design,
+        observation_labels,
+        target_labels,
+        N=num_samples,
+        M=num_samples,
+        rng_key=rng_key,
+    )
+
+
+def posterior_eig(
+    model,
+    design,
+    observation_labels,
+    target_labels,
+    num_samples: int,
+    num_steps: int,
+    guide,
+    optim=None,
+    rng_key=None,
+    **kwargs,
+):
+    """Barber-Agakov posterior bound (ref ``eig.py:442``): train
+    ``guide(y, design, observation_labels, target_labels)`` to approximate
+    p(theta|y,d); EIG >= H(prior) + E[log q(theta|y)]."""
+    from ...infer.svi import ParamsMessenger, _MissingParam
+    from ...optim import Adam
+    from ...params.param_store import get_param_store
+
+    observation_labels = _as_list(observation_labels)
+    target_labels = _as_list(target_labels)
+    optim = optim or Adam({"lr": 0.01})
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    store = get_param_store()
+
+    def loss_fn(params, key):
+        keys = jax.random.split(key, num_samples)
+
+        def one(k):
+            tr = _trace_model(model, design, k)
+            y = {n: tr.nodes[n]["value"] for n in observation_labels}
+            theta = {n: tr.nodes[n]["value"] for n in target_labels}
+            with ParamsMessenger(params, store):
+                g = poutine.condition(guide, data=theta)
+                gt = poutine.trace(
+                    poutine.seed(g, rng_key=jax.random.fold_in(k, 1))
+                ).get_trace(y, design, observation_labels, target_labels)
+            gt = prune_subsample_sites(gt)
+            gt.compute_log_prob()
+            return sum(
+                jnp.sum(gt.nodes[n]["log_prob"]) for n in target_labels
+            )
+
+        return -jnp.mean(jax.vmap(one)(keys))
+
+    # eager init
+    key0, key_train = jax.random.split(rng_key)
+    try:
+        loss_fn(store.get_all_unconstrained(), key0)
+    except (_MissingParam, KeyError):
+        k = jax.random.fold_in(key0, 2)
+        tr = _trace_model(model, design, k)
+        y = {n: tr.nodes[n]["value"] for n in observation_labels}
+        theta = {n: tr.nodes[n]["value"] for n in target_labels}
+        with poutine.block():
+            poutine.trace(
+                poutine.seed(
+                    poutine.condition(guide, data=theta),
+                    rng_key=jax.random.fold_in(k, 3),
+                )
+            ).get_trace(y, design, observation_labels, target_labels)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    for i in range(num_steps):
+        params = store.get_all_unconstrained()
+        key_train, sub = jax.random.split(key_train)
+        loss, grads = grad_fn(params, sub)
+        store.set_all_unconstrained(optim(params, grads))
+    # final bound value (up to the prior entropy constant)
+    params = store.get_all_unconstrained()
+    return -loss_fn(params, jax.random.fold_in(key_train, 9))
+
+
+def vnmc_eig(
+    model,
+    design,
+    observation_labels,
+    target_labels,
+    num_samples,
+    num_steps,
+    guide,
+    optim=None,
+    rng_key=None,
+    **kwargs,
+):
+    """Variational NMC (ref ``eig.py``): posterior guide as importance
+    proposal inside nmc.  Round-1: trains the guide via posterior_eig then
+    evaluates nmc with it ignored (upper bound via plain nmc)."""
+    posterior_eig(
+        model,
+        design,
+        observation_labels,
+        target_labels,
+        num_samples=num_samples[0] if isinstance(num_samples, tuple) else num_samples,
+        num_steps=num_steps,
+        guide=guide,
+        optim=optim,
+        rng_key=rng_key,
+    )
+    n = num_samples if isinstance(num_samples, int) else num_samples[0]
+    m = 10 if isinstance(num_samples, int) else num_samples[1]
+    return nmc_eig(
+        model, design, observation_labels, target_labels, N=n, M=m,
+        rng_key=rng_key,
+    )
+
+
+def laplace_eig(
+    model,
+    design,
+    observation_labels,
+    target_labels,
+    guide=None,
+    num_steps: int = 0,
+    final_num_samples: int = 100,
+    rng_key=None,
+    **kwargs,
+):
+    """Laplace-approximation EIG (ref ``eig.py:29``) — round-1 falls back
+    to nested MC, which is exact in the large-sample limit."""
+    return nmc_eig(
+        model,
+        design,
+        observation_labels,
+        target_labels,
+        N=final_num_samples,
+        M=final_num_samples,
+        rng_key=rng_key,
+    )
+
+
+def donsker_varadhan_eig(*args, **kwargs):
+    raise NotImplementedError(
+        "donsker_varadhan_eig: planned for a later round (needs a trained "
+        "critic network); use nmc_eig or posterior_eig"
+    )
