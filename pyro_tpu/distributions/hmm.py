@@ -37,7 +37,12 @@ from ..ops.gaussian import (
 
 def _logmatmulexp(x, y):
     """Numerically-stable batched log-space matmul: rides the MXU via a
-    regular matmul of shifted exponentials."""
+    regular matmul of shifted exponentials; 2-D MXU-sized tiles route to
+    the fused Pallas kernel (ops/pallas/log_einsum.py)."""
+    from ..ops.pallas import logmatmulexp as _fused
+
+    if x.ndim == 2 and y.ndim == 2:
+        return _fused(x, y)
     x_shift = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
     y_shift = jax.lax.stop_gradient(jnp.max(y, axis=-2, keepdims=True))
     x_shift = jnp.where(jnp.isfinite(x_shift), x_shift, 0.0)

@@ -50,7 +50,22 @@ def _shift(p: PackedTensor, out_dims: str):
 
 
 def logsumexp_pair(x: PackedTensor, y: PackedTensor, out_dims: str) -> PackedTensor:
-    """log-space contraction of two packed tensors to out_dims."""
+    """log-space contraction of two packed tensors to out_dims.
+
+    The matmul-shaped case (ab,bc->ac) routes to the fused Pallas
+    logmatmulexp kernel on TPU."""
+    if (
+        len(x.dims) == 2
+        and len(y.dims) == 2
+        and len(out_dims) == 2
+        and x.dims[1] == y.dims[0]
+        and out_dims == x.dims[0] + y.dims[1]
+        and x.dims[0] != x.dims[1]
+        and y.dims[0] != y.dims[1]
+    ):
+        from .pallas import logmatmulexp as _fused
+
+        return PackedTensor(_fused(x.value, y.value), out_dims)
     xv, xshift = _shift(x, out_dims)
     yv, yshift = _shift(y, out_dims)
     (ix, iy), io = _symbol_ids([x.dims, y.dims], out_dims)
