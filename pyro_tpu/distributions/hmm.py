@@ -330,6 +330,130 @@ class GaussianHMM(HiddenMarkovModel):
         raise NotImplementedError
 
 
+class GammaGaussianHMM(HiddenMarkovModel):
+    """HMM whose joint over (init, hidden, observed) states is multivariate
+    Student-T via a shared Gamma-distributed precision multiplier
+    (ref ``hmm.py:744``; Särkkä & García-Fernández 2019 for the O(log T)
+    parallelization):
+
+        s ~ Gamma(df/2, df/2)
+        z ~ scale(initial_dist, s)
+        repeat:  z' = z @ A + scale(trans_dist, s);  x = z @ C + scale(obs_dist, s)
+
+    where ``scale(mvn(loc, P), s) = mvn(loc, s * P)``.  Time elimination is
+    a pairwise ``gamma_gaussian_tensordot`` halving on the MXU.
+    """
+
+    arg_constraints = {}
+    support = constraints.independent(constraints.real, 2)
+
+    def __init__(
+        self,
+        scale_dist,
+        initial_dist,
+        transition_matrix,
+        transition_dist,
+        observation_matrix,
+        observation_dist,
+        duration=None,
+    ):
+        from ..ops.gamma_gaussian import (
+            gamma_and_mvn_to_gamma_gaussian,
+            matrix_and_mvn_to_gamma_gaussian,
+        )
+
+        hidden_dim, obs_dim = observation_matrix.shape[-2:]
+        assert initial_dist.event_shape == (hidden_dim,)
+        assert transition_matrix.shape[-2:] == (hidden_dim, hidden_dim)
+        assert transition_dist.event_shape == (hidden_dim,)
+        assert observation_dist.event_shape == (obs_dim,)
+        shape = broadcast_shape(
+            scale_dist.batch_shape + (1,),
+            initial_dist.batch_shape + (1,),
+            transition_matrix.shape[:-2],
+            transition_dist.batch_shape,
+            observation_matrix.shape[:-2],
+            observation_dist.batch_shape,
+        )
+        batch_shape, time_shape = shape[:-1], shape[-1:]
+        event_shape = tuple(time_shape) + (obs_dim,)
+        super().__init__(duration, batch_shape, event_shape)
+        self.hidden_dim = hidden_dim
+        self.obs_dim = obs_dim
+        self._init = gamma_and_mvn_to_gamma_gaussian(
+            scale_dist, initial_dist
+        ).expand(self.batch_shape)
+        self._trans = matrix_and_mvn_to_gamma_gaussian(
+            transition_matrix, transition_dist
+        )
+        self._obs = matrix_and_mvn_to_gamma_gaussian(
+            observation_matrix, observation_dist
+        )
+
+    def expand(self, batch_shape, _instance=None):
+        batch_shape = tuple(batch_shape)
+        new = object.__new__(GammaGaussianHMM)
+        new.hidden_dim = self.hidden_dim
+        new.obs_dim = self.obs_dim
+        new._obs = self._obs
+        new._trans = self._trans
+        new._init = self._init.expand(batch_shape)
+        Distribution.__init__(new, batch_shape, self.event_shape)
+        new._duration = self._duration
+        new._pyro_init_args = self._pyro_init_args
+        return new
+
+    def log_prob(self, value):
+        from ..ops.gamma_gaussian import (
+            gamma_gaussian_tensordot,
+            sequential_gamma_gaussian_tensordot,
+        )
+
+        result = self._trans + self._obs.condition(value).event_pad(
+            left=self.hidden_dim
+        )
+        result = result.expand(result.batch_shape)
+        result = sequential_gamma_gaussian_tensordot(result)
+        result = gamma_gaussian_tensordot(
+            self._init, result, dims=self.hidden_dim
+        )
+        return result.event_logsumexp().logsumexp()
+
+    def filter(self, value):
+        """Posterior over (mixing variable, final hidden state) given
+        observations, as a (Gamma, MultivariateNormal) pair with the MVN
+        conditioned on unit scale (ref ``hmm.py:903``)."""
+        from ..ops.gamma_gaussian import (
+            gamma_gaussian_tensordot,
+            sequential_gamma_gaussian_tensordot,
+        )
+        from .continuous import Gamma as GammaDist
+        from .multivariate import MultivariateNormal
+
+        logp = self._trans + self._obs.condition(value).event_pad(
+            left=self.hidden_dim
+        )
+        logp = logp.expand(logp.batch_shape)
+        logp = sequential_gamma_gaussian_tensordot(logp)
+        logp = gamma_gaussian_tensordot(
+            self._init, logp, dims=self.hidden_dim
+        )
+        gamma_dist = logp.event_logsumexp()
+        scale_post = GammaDist(gamma_dist.concentration, gamma_dist.rate)
+        mvn = Gaussian(
+            jnp.zeros(logp.batch_shape), logp.info_vec, logp.precision
+        ).to_mvn()
+        return scale_post, mvn
+
+    @property
+    def mean(self):
+        raise NotImplementedError
+
+    @property
+    def variance(self):
+        raise NotImplementedError
+
+
 class IndependentHMM(HiddenMarkovModel):
     """Run independent base HMMs over the rightmost batch dim, giving an
     event dim over channels (ref ``hmm.py:1141``)."""

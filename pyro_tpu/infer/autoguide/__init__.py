@@ -17,6 +17,7 @@ from .guides import (
     AutoNormal,
     AutoNormalizingFlow,
 )
+from .structured import AutoGaussian, AutoStructured
 from .initialization import (
     init_to_feasible,
     init_to_mean,
@@ -31,9 +32,11 @@ __all__ = [
     "AutoMessenger",
     "AutoNormalMessenger",
     "AutoRegressiveMessenger",
+    "AutoStructured",
     "AutoContinuous",
     "AutoDelta",
     "AutoDiagonalNormal",
+    "AutoGaussian",
     "AutoGuide",
     "AutoGuideList",
     "AutoIAFNormal",

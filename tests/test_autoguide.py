@@ -157,3 +157,40 @@ def test_predictive_from_mcmc_samples():
     out = pred(DATA, rng_key=jax.random.key(5))
     assert out["obs"].shape == (300, 3)
     assert np.abs(np.asarray(out["obs"]).mean() - 2.0) < 0.3
+
+
+def test_autostructured_captures_correlation():
+    """Two latents observed only through their sum: the structured guide
+    should learn the dependency and beat mean-field ELBO."""
+    from pyro_tpu.infer.autoguide import AutoStructured
+
+    data = jnp.array([1.0])
+
+    def model(data):
+        a = pyro.sample("a", dist.Normal(0.0, 1.0))
+        b = pyro.sample("b", dist.Normal(0.0, 1.0))
+        pyro.sample("obs", dist.Normal(a + b, 0.3), obs=data)
+
+    guide = AutoStructured(model)
+    svi = SVI(model, guide, Adam({"lr": 0.02}), Trace_ELBO(num_particles=16))
+    losses = [svi.step(data) for _ in range(2500)]
+    store = pyro.get_param_store()
+    # dependency weight learned nonzero (posterior corr is strongly negative)
+    key = [k for k in store.keys() if ".deps." in k]
+    assert key, "no dependency params created"
+    W = np.asarray(store[key[0]])
+    assert abs(W).max() > 0.05, W
+    # posterior of a+b should center near 1
+    med = guide.median()
+    assert abs(float(med["a"] + med["b"]) - 0.93) < 0.35
+
+
+def test_autogaussian_runs():
+    from pyro_tpu.infer.autoguide import AutoGaussian
+
+    guide = AutoGaussian(conj_model)
+    svi = SVI(conj_model, guide, Adam({"lr": 0.05}), Trace_ELBO(num_particles=8))
+    for _ in range(1000):
+        svi.step(DATA)
+    med = guide.median()
+    assert np.allclose(np.asarray(med["loc"]), POST_LOC, atol=0.25)

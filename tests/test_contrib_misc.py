@@ -132,3 +132,44 @@ def test_autoname_scope_and_count():
 
     tr2 = poutine.trace(poutine.seed(counted, 0)).get_trace()
     assert "z" in tr2 and "z__0" in tr2
+
+
+def test_conjugate_collapse_and_posterior():
+    from pyro_tpu.contrib.conjugate import (
+        BetaBinomialPair,
+        collapse_conjugate,
+        posterior_replay,
+    )
+    from pyro_tpu import poutine
+
+    data = jnp.array([7.0, 8.0, 6.0])
+    n = jnp.array([10.0, 10.0, 10.0])
+
+    def model():
+        p = pyro.sample(
+            "p", dist.Beta(2.0, 2.0), infer={"collapse": True}
+        )
+        with pyro.plate("data", 3):
+            pyro.sample(
+                "obs",
+                BetaBinomialPair().compound(p.fn, n),
+                obs=data,
+            )
+
+    # collapsed model traces without sampling p
+    tr = poutine.trace(
+        collapse_conjugate(poutine.seed(model, 0))
+    ).get_trace()
+    tr2 = tr.copy()
+    from pyro_tpu.poutine.util import prune_subsample_sites
+
+    # exact marginal likelihood is finite
+    obs_site = tr.nodes["obs"]
+    assert np.isfinite(
+        float(obs_site["fn"].log_prob(obs_site["value"]).sum())
+    )
+    posts = posterior_replay(model)
+    post = posts["p"]
+    expected = dist.Beta(2.0 + 21.0, 2.0 + 9.0)
+    assert np.allclose(float(post.concentration1), float(expected.concentration1))
+    assert np.allclose(float(post.concentration0), float(expected.concentration0))
