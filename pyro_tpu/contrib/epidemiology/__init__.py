@@ -9,10 +9,11 @@ round.
 
 from .compartmental import CompartmentalModel
 from .distributions import beta_binomial_dist, binomial_dist, infection_dist
-from .models import SimpleSIRModel
+from .models import SimpleSEIRModel, SimpleSIRModel
 
 __all__ = [
     "CompartmentalModel",
+    "SimpleSEIRModel",
     "SimpleSIRModel",
     "beta_binomial_dist",
     "binomial_dist",

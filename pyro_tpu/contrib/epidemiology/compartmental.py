@@ -83,12 +83,59 @@ class CompartmentalModel:
         self.guide = guide
         return losses
 
+    def fit_mcmc(
+        self,
+        *,
+        num_samples: int = 500,
+        warmup_steps: Optional[int] = None,
+        num_chains: int = 1,
+        max_tree_depth: int = 8,
+        rng_key=None,
+        **options,
+    ):
+        """NUTS over the relaxed continuous flows (ref
+        ``compartmental.py:534``; the reference's quantized-enumeration
+        mode is subsumed by the relaxed parameterization here — flows are
+        positive reals, so the whole posterior is HMC-tractable and chains
+        vectorize on-device)."""
+        from ...infer.mcmc import MCMC, NUTS
+
+        kernel = NUTS(self._model, max_tree_depth=max_tree_depth, **options)
+        mcmc = MCMC(
+            kernel,
+            num_samples=num_samples,
+            warmup_steps=(
+                num_samples if warmup_steps is None else warmup_steps
+            ),
+            num_chains=num_chains,
+        )
+        mcmc.run(rng_key=rng_key if rng_key is not None else jax.random.key(0))
+        self.samples = mcmc.get_samples()
+        self.guide = None
+        return mcmc
+
     def predict(self, num_samples: int = 100, rng_key=None) -> Dict:
-        """Posterior samples of all sites (ref ``compartmental.py:663``)."""
+        """Posterior samples of all sites (ref ``compartmental.py:663``):
+        from the SVI guide after :meth:`fit_svi`, or from the stored MCMC
+        samples after :meth:`fit_mcmc`."""
         from ...infer import Predictive
 
-        pred = Predictive(
-            self._model, guide=self.guide, num_samples=num_samples
-        )
-        self.samples = pred(rng_key=rng_key)
+        if getattr(self, "guide", None) is not None:
+            pred = Predictive(
+                self._model, guide=self.guide, num_samples=num_samples
+            )
+            self.samples = pred(rng_key=rng_key)
+        else:
+            import numpy as np
+
+            # subsample the stored MCMC draws, then fill in remaining sites
+            n = len(next(iter(self.samples.values())))
+            idx = np.random.default_rng(0).choice(
+                n, size=min(num_samples, n), replace=False
+            )
+            sub = {k: v[idx] for k, v in self.samples.items()}
+            pred = Predictive(self._model, posterior_samples=sub)
+            out = pred(rng_key=rng_key)
+            out.update(sub)
+            self.samples = out
         return self.samples

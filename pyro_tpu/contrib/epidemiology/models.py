@@ -11,6 +11,69 @@ from .compartmental import CompartmentalModel
 from .distributions import binomial_dist, infection_dist
 
 
+class SimpleSEIRModel(CompartmentalModel):
+    """SEIR with an incubation (Exposed) compartment
+    (ref ``models.py:SimpleSEIRModel``), relaxed to positive real flows."""
+
+    def __init__(
+        self, population: int, incubation_time: float, recovery_time: float, data
+    ):
+        duration = len(data)
+        super().__init__(["S", "E", "I"], duration, population)
+        assert incubation_time > 1
+        assert recovery_time > 1
+        self.incubation_time = incubation_time
+        self.recovery_time = recovery_time
+        self.data = jnp.asarray(data, jnp.result_type(float))
+
+    def global_model(self):
+        tau_e = self.incubation_time
+        tau_i = self.recovery_time
+        R0 = pyro.sample("R0", dist.LogNormal(0.0, 1.0))
+        rho = pyro.sample("rho", dist.Beta(10.0, 10.0))
+        return R0, tau_e, tau_i, rho
+
+    def initialize(self, params):
+        return {
+            "S": self.population - 1.0,
+            "E": 0.0,
+            "I": 1.0,
+        }
+
+    def transition(self, params, state, t):
+        R0, tau_e, tau_i, rho = params
+        p_infect = 1.0 - jnp.exp(
+            -R0 / tau_i * state["I"] / self.population
+        )
+        mean_s2e = jnp.clip(state["S"] * p_infect, 1e-3)
+        S2E = pyro.sample(
+            f"S2E_{t}", dist.LogNormal(jnp.log(mean_s2e), 0.3)
+        )
+        mean_e2i = jnp.clip(state["E"] / tau_e, 1e-3)
+        E2I = pyro.sample(
+            f"E2I_{t}", dist.LogNormal(jnp.log(mean_e2i), 0.3)
+        )
+        mean_i2r = jnp.clip(state["I"] / tau_i, 1e-3)
+        I2R = pyro.sample(
+            f"I2R_{t}", dist.LogNormal(jnp.log(mean_i2r), 0.3)
+        )
+        S2E = jnp.clip(S2E, 0.0, state["S"])
+        E2I = jnp.clip(E2I, 0.0, state["E"])
+        I2R = jnp.clip(I2R, 0.0, state["I"])
+        new_state = {
+            "S": state["S"] - S2E,
+            "E": state["E"] + S2E - E2I,
+            "I": state["I"] + E2I - I2R,
+        }
+        n = S2E + 0.5
+        pyro.sample(
+            f"obs_{t}",
+            dist.Normal(rho * n, jnp.sqrt(rho * (1 - rho) * n + 0.5)),
+            obs=self.data[t],
+        )
+        return new_state
+
+
 class SimpleSIRModel(CompartmentalModel):
     """SIR with binomial observations of new infections
     (ref ``models.py:SimpleSIRModel``), relaxed to positive real flows."""

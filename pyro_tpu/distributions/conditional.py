@@ -1,0 +1,120 @@
+"""Conditional distribution / transform interfaces.
+
+Ref ``pyro/distributions/conditional.py``: ``ConditionalDistribution:7``,
+``ConditionalTransform:17``, ``ConditionalTransformModule:40``,
+``ConditionalTransformedDistribution:71``, and
+``torch_transform.py`` (``TransformModule``, ``ComposeTransformModule``).
+
+In this functional JAX design a "transform module" is simply a Transform
+whose parameters are captured arrays (typically produced by ``pyro.param``
+or a flax bridge), so ``TransformModule`` is the plain ``Transform`` base
+and ``ComposeTransformModule`` composes a list of them.  The conditional
+variants carry a ``condition(context)`` method returning the
+context-specialized unconditional object, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+from .distribution import Distribution, TransformedDistribution
+from .transforms import ComposeTransform, Transform
+
+# In the reference, TransformModule = Transform + nn.Module (learnable
+# parameters).  Parameters here are explicit arrays, so the base suffices.
+TransformModule = Transform
+
+
+class ComposeTransformModule(ComposeTransform):
+    """Composition of (learnable) transforms (ref ``torch_transform.py``)."""
+
+    def __init__(self, parts):
+        super().__init__(list(parts))
+
+    def __iter__(self):
+        return iter(self.parts)
+
+
+class ConditionalDistribution:
+    """Ref ``conditional.py:7``."""
+
+    def condition(self, context) -> Distribution:
+        raise NotImplementedError
+
+
+class ConditionalTransform:
+    """Ref ``conditional.py:17``."""
+
+    def condition(self, context) -> Transform:
+        raise NotImplementedError
+
+
+class ConstantConditionalDistribution(ConditionalDistribution):
+    """A ConditionalDistribution ignoring its context (ref :23)."""
+
+    def __init__(self, base_dist):
+        assert isinstance(base_dist, Distribution)
+        self.base_dist = base_dist
+
+    def condition(self, context):
+        return self.base_dist
+
+
+class ConstantConditionalTransform(ConditionalTransform):
+    """A ConditionalTransform ignoring its context (ref :31)."""
+
+    def __init__(self, transform):
+        assert isinstance(transform, Transform)
+        self.transform = transform
+
+    def condition(self, context):
+        return self.transform
+
+    def clear_cache(self):
+        pass
+
+
+class ConditionalTransformModule(ConditionalTransform):
+    """Conditional transform with learnable parameters (ref
+    ``conditional.py:40``); subclasses implement ``condition``."""
+
+
+class ConditionalComposeTransformModule(ConditionalTransformModule):
+    """Compose a sequence of conditional and/or constant transforms
+    (ref ``conditional.py:52``)."""
+
+    def __init__(self, parts):
+        self.parts = [
+            p
+            if isinstance(p, ConditionalTransform)
+            else ConstantConditionalTransform(p)
+            for p in parts
+        ]
+
+    def condition(self, context):
+        return ComposeTransformModule(
+            [p.condition(context) for p in self.parts]
+        )
+
+
+class ConditionalTransformedDistribution(ConditionalDistribution):
+    """Ref ``conditional.py:71``."""
+
+    def __init__(self, base_dist, transforms):
+        self.base_dist = (
+            base_dist
+            if isinstance(base_dist, ConditionalDistribution)
+            else ConstantConditionalDistribution(base_dist)
+        )
+        self.transforms = [
+            t
+            if isinstance(t, ConditionalTransform)
+            else ConstantConditionalTransform(t)
+            for t in transforms
+        ]
+
+    def condition(self, context):
+        base_dist = self.base_dist.condition(context)
+        transforms = [t.condition(context) for t in self.transforms]
+        return TransformedDistribution(base_dist, transforms)
+
+    def clear_cache(self):
+        pass

@@ -260,12 +260,12 @@ class OneHotCategorical(Distribution):
         batch_shape = tuple(batch_shape)
         n = self._categorical._num_events
         if self._categorical._probs is not None:
-            return OneHotCategorical(
+            return type(self)(
                 probs=jnp.broadcast_to(
                     self._categorical._probs, batch_shape + (n,)
                 )
             )
-        return OneHotCategorical(
+        return type(self)(
             logits=jnp.broadcast_to(
                 self._categorical._logits, batch_shape + (n,)
             )

@@ -103,7 +103,8 @@ class RelaxedBernoulli(Distribution):
         )
 
     def expand(self, batch_shape, _instance=None):
-        return RelaxedBernoulli(
+        # type(self) so the StraightThrough subclass survives expand
+        return type(self)(
             self.temperature,
             logits=jnp.broadcast_to(self.logits, tuple(batch_shape)),
         )
@@ -173,7 +174,7 @@ class RelaxedOneHotCategorical(Distribution):
 
     def expand(self, batch_shape, _instance=None):
         k = self.event_shape[0]
-        return RelaxedOneHotCategorical(
+        return type(self)(
             self.temperature,
             logits=jnp.broadcast_to(
                 self.logits, tuple(batch_shape) + (k,)
@@ -612,13 +613,29 @@ class Stable(Distribution):
 
     def expand(self, batch_shape, _instance=None):
         batch_shape = tuple(batch_shape)
-        return Stable(
+        # type(self), not Stable: StableWithLogProb must survive expand
+        return type(self)(
             jnp.broadcast_to(self.stability, batch_shape),
             jnp.broadcast_to(self.skew, batch_shape),
             jnp.broadcast_to(self.scale, batch_shape),
             jnp.broadcast_to(self.loc, batch_shape),
             coords=self.coords,
         )
+
+
+class StableWithLogProb(Stable):
+    """Stable distribution with a numerically-integrated ``log_prob``
+    (ref ``pyro/distributions/stable.py:StableWithLogProb`` +
+    ``stable_log_prob.py``); Gauss-Legendre quadrature of Nolan's
+    integral, jittable and differentiable."""
+
+    def log_prob(self, value):
+        from .stable_log_prob import stable_log_prob
+
+        z = (value - self.loc) / self.scale
+        return stable_log_prob(
+            self.stability, self.skew, z, coords=self.coords
+        ) - jnp.log(self.scale)
 
 
 class Empirical(Distribution):

@@ -144,7 +144,7 @@ class MultivariateNormal(Distribution):
     def expand(self, batch_shape, _instance=None):
         batch_shape = tuple(batch_shape)
         n = self.event_shape[0]
-        return MultivariateNormal(
+        return type(self)(
             jnp.broadcast_to(self.loc, batch_shape + (n,)),
             scale_tril=jnp.broadcast_to(
                 self._unbroadcast_scale_tril, batch_shape + (n, n)

@@ -21,6 +21,20 @@ def is_validation_enabled() -> bool:
     return _VALIDATION_ENABLED
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def validation_enabled(is_validate: bool = True):
+    """Context-managed validation flag (ref ``distributions/__init__.py``)."""
+    old = is_validation_enabled()
+    enable_validation(is_validate)
+    try:
+        yield
+    finally:
+        enable_validation(old)
+
+
 def is_identically_zero(x) -> bool:
     """True if ``x`` is the literal number zero (ref ``util.py:61``)."""
     return isinstance(x, (int, float)) and x == 0

@@ -11,6 +11,12 @@ from .autoguide import (
 )
 from .elbo import ELBO, JitTrace_ELBO, Trace_ELBO, TraceMeanField_ELBO
 from .discrete import infer_discrete
+from .abstract_infer import (
+    EmpiricalMarginal,
+    Marginals,
+    TracePosterior,
+    TracePredictive,
+)
 from .importance import (
     CSIS,
     Importance,
@@ -45,7 +51,11 @@ __all__ = [
     "ELBO",
     "EnergyDistance",
     "IMQSteinKernel",
+    "EmpiricalMarginal",
     "Importance",
+    "Marginals",
+    "TracePosterior",
+    "TracePredictive",
     "HMC",
     "JitTrace_ELBO",
     "MCMC",

@@ -623,3 +623,77 @@ class AutoLowRankMultivariateNormal(AutoContinuous):
         scale = store[f"{self._name}.scale"]
         total = jnp.sqrt(jnp.sum(W**2, -1) + scale**2)
         return store[f"{self._name}.loc"], total
+
+
+class AutoDiscreteParallel(AutoGuide):
+    """Discrete mean-field guide: a learned Categorical/Bernoulli/
+    OneHotCategorical per discrete model site configured for parallel
+    enumeration (ref ``guides.py:1199``)."""
+
+    def _setup_prototype(self, *args, **kwargs):
+        from ...distributions.discrete import (
+            Bernoulli,
+            Categorical,
+            OneHotCategorical,
+        )
+        from ..enum import config_enumerate
+
+        model = config_enumerate(self.model)
+        with poutine.block():
+            trace = poutine.trace(
+                poutine.seed(model, rng_key=jax.random.key(0))
+            ).get_trace(*args, **kwargs)
+        self.prototype_trace = prune_subsample_sites(trace)
+        self._prototype_frames = {}
+        self._discrete_sites = []
+        for name, site in self.prototype_trace.nodes.items():
+            if not _is_latent(site):
+                continue
+            if site["infer"].get("enumerate") != "parallel":
+                raise NotImplementedError(
+                    f'Expected sample site "{name}" to be discrete and '
+                    "configured for parallel enumeration"
+                )
+            fn = site["fn"]
+            if not isinstance(
+                fn, (Bernoulli, Categorical, OneHotCategorical)
+            ):
+                raise NotImplementedError(
+                    f"{type(fn).__name__} is not supported"
+                )
+            probs = jax.nn.softmax(fn.logits, axis=-1) if isinstance(
+                fn, (Categorical, OneHotCategorical)
+            ) else jax.nn.sigmoid(fn.logits)
+            self._discrete_sites.append((name, type(fn), probs))
+            self._prototype_frames[name] = tuple(
+                f for f in site["cond_indep_stack"] if f.dim is not None
+            )
+
+    def __call__(self, *args, **kwargs):
+        from ...distributions import constraints as _c
+
+        if self.prototype_trace is None:
+            self._setup_prototype(*args, **kwargs)
+        plates = self._create_plates(*args, **kwargs)
+        result = {}
+        for name, Dist, probs_init in self._discrete_sites:
+            frames = self._prototype_frames[name]
+            constraint = (
+                _c.simplex
+                if probs_init.ndim and probs_init.shape[-1] > 1
+                else _c.unit_interval
+            )
+            probs = pyro_param(
+                f"{self._name}.{name}_probs",
+                probs_init,
+                constraint=constraint,
+            )
+            with ExitStack() as stack:
+                for frame in frames:
+                    stack.enter_context(plates[frame.name])
+                result[name] = pyro_sample(
+                    name,
+                    Dist(probs=probs),
+                    infer={"enumerate": "parallel"},
+                )
+        return result

@@ -1,4 +1,5 @@
 from .api import MCMC
+from .mass import ArrowheadMassMatrix, BlockMassMatrix
 from .hmc import HMC
 from .mcmc_kernel import MCMCKernel
 from .nuts import NUTS
@@ -7,6 +8,8 @@ from .streaming import StreamingMCMC
 from .util import initialize_model
 
 __all__ = [
+    "ArrowheadMassMatrix",
+    "BlockMassMatrix",
     "HMC",
     "MCMC",
     "MCMCKernel",

@@ -61,3 +61,54 @@ def test_simple_sir_fit_and_predict():
     R0_est = float(np.median(np.asarray(samples["R0"])))
     assert 0.8 < R0_est < 4.5, R0_est
     assert "rho" in samples
+
+
+def test_simple_seir_smoke():
+    """SEIR relaxed-flow model trains and predicts (light smoke; full
+    recovery is covered by the SIR test)."""
+    rng = np.random.RandomState(2)
+    population, tau_e, tau_i, R0, rho = 1000, 3.0, 4.0, 2.5, 0.5
+    S, E, I = population - 5, 0.0, 5.0
+    data = []
+    for t in range(10):
+        p = 1 - np.exp(-R0 / tau_i * I / population)
+        s2e = rng.binomial(int(S), p)
+        e2i = rng.binomial(int(E), 1 / tau_e)
+        i2r = rng.binomial(int(I), 1 / tau_i)
+        S -= s2e
+        E += s2e - e2i
+        I += e2i - i2r
+        data.append(rng.binomial(max(s2e, 1), rho))
+    from pyro_tpu.contrib.epidemiology import SimpleSEIRModel
+
+    model = SimpleSEIRModel(
+        population, tau_e, tau_i, jnp.asarray(data, jnp.float32)
+    )
+    losses = model.fit_svi(num_steps=600, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    samples = model.predict(num_samples=20, rng_key=jax.random.key(4))
+    assert "R0" in samples and "rho" in samples
+    assert np.isfinite(np.asarray(samples["R0"])).all()
+
+
+def test_sir_fit_mcmc():
+    """NUTS over the relaxed flows recovers R0 (ref fit_mcmc:534)."""
+    rng = np.random.RandomState(1)
+    population, tau, R0, rho = 1000, 4.0, 2.5, 0.5
+    S, I = population - 5, 5.0
+    data = []
+    for t in range(10):
+        p = 1 - np.exp(-R0 / tau * I / population)
+        s2i = rng.binomial(int(S), p)
+        i2r = rng.binomial(int(I), 1 / tau)
+        S -= s2i
+        I += s2i - i2r
+        data.append(rng.binomial(max(s2i, 1), rho))
+    model = SimpleSIRModel(population, tau, jnp.asarray(data, jnp.float32))
+    model.fit_mcmc(
+        num_samples=200, warmup_steps=200, rng_key=jax.random.key(0)
+    )
+    R0_est = float(np.median(np.asarray(model.samples["R0"])))
+    assert 0.8 < R0_est < 5.0, R0_est
+    pred = model.predict(num_samples=20, rng_key=jax.random.key(1))
+    assert "R0" in pred
