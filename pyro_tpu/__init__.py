@@ -10,6 +10,7 @@ models, and ``jax.sharding`` meshes for multi-chip inference.
 from . import distributions, infer, optim, poutine
 from .params.param_store import clear_param_store, get_param_store
 from .poutine.runtime import set_rng_seed
+from .util import get_rng_state, set_rng_state
 from .primitives import (
     barrier,
     deterministic,
@@ -46,7 +47,11 @@ __all__ = [
     "render_model",
     "poutine",
     "sample",
+    "get_rng_state",
+    "get_rng_state",
     "set_rng_seed",
+    "set_rng_state",
+    "set_rng_state",
     "subsample",
     "validation_enabled",
 ]

@@ -164,13 +164,20 @@ def detach(x):
 
 
 def lazy_property(fn):
-    """Cached property (distributions are immutable once constructed)."""
+    """Cached property (distributions are immutable once constructed).
+
+    Values computed while tracing (jax Tracers) are NOT cached: a
+    distribution built eagerly but first touched inside ``jit`` would
+    otherwise capture a tracer and leak it into later calls."""
     attr = "_lazy_" + fn.__name__
 
     @property
     def _lazy(self):
-        if not hasattr(self, attr):
-            object.__setattr__(self, attr, fn(self))
-        return getattr(self, attr)
+        if hasattr(self, attr):
+            return getattr(self, attr)
+        value = fn(self)
+        if not isinstance(value, jax.core.Tracer):
+            object.__setattr__(self, attr, value)
+        return value
 
     return _lazy

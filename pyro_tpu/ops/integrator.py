@@ -58,3 +58,32 @@ def velocity_verlet(
             step, (z, r, z_grads, 0.0), None, length=num_steps
         )
     return z, r, z_grads, pe
+
+
+# -- exception-handler registry (ref ``ops/integrator.py:97-125``) ----------
+# Under jit, numerical failure shows up as non-finite energies rather than
+# raised exceptions, so HMC flags divergences by value; this registry is
+# for the eager paths (initialization, user potential_fns) where Python
+# exceptions can still occur.
+_EXCEPTION_HANDLERS = {}
+
+
+def register_exception_handler(name, handler, warn_on_overwrite: bool = True):
+    """Register ``handler(exception) -> bool`` marking recoverable
+    numerical errors (treated as divergent transitions)."""
+    import warnings
+
+    if name in _EXCEPTION_HANDLERS and warn_on_overwrite:
+        warnings.warn(f"overwriting exception handler {name!r}")
+    _EXCEPTION_HANDLERS[name] = handler
+
+
+def _is_recoverable_exception(e) -> bool:
+    return any(h(e) for h in _EXCEPTION_HANDLERS.values())
+
+
+def _value_error_handler(e):
+    return isinstance(e, ValueError)
+
+
+register_exception_handler("value_error", _value_error_handler, warn_on_overwrite=False)

@@ -234,3 +234,45 @@ Adadelta = _wrap(lambda lr=1.0, rho=0.9, eps=1e-6: optax.adadelta(lr, rho=rho, e
 Adamax = _wrap(lambda lr=2e-3, betas=(0.9, 0.999), eps=1e-8: optax.adamax(lr, b1=betas[0], b2=betas[1], eps=eps), "Adamax")
 NAdam = _wrap(lambda lr=2e-3, betas=(0.9, 0.999), eps=1e-8: optax.nadam(lr, b1=betas[0], b2=betas[1], eps=eps), "NAdam")
 RAdam = _wrap(lambda lr=1e-3, betas=(0.9, 0.999), eps=1e-8: optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps), "RAdam")
+
+
+class HorovodOptimizer:
+    """Distributed data-parallel optimizer wrapper.
+
+    Ref ``pyro/optim/horovod.py:13``: the reference wraps a PyroOptim in
+    ``horovod.torch.DistributedOptimizer`` (ring-allreduce gradient
+    averaging).  The TPU-native equivalent is a ``lax.pmean`` of the
+    gradients over a named mesh axis before the inner update — when the
+    SVI step runs under ``shard_map``/``pmap`` over that axis, XLA lowers
+    the pmean to an ICI all-reduce, which *is* the ring-allreduce.  Used
+    standalone (no mapped axis) it degrades gracefully to the inner
+    optimizer.  See also ``pyro_tpu.parallel.DataParallelSVI``, which
+    wires this pattern end-to-end.
+
+    :param pyro_optim: a :class:`PyroOptim` instance to wrap.
+    :param str axis_name: the mapped mesh axis to average gradients over.
+    """
+
+    def __init__(self, pyro_optim: "PyroOptim", axis_name: str = "data", **kwargs):
+        self._inner = pyro_optim
+        self.axis_name = axis_name
+
+    def _allreduce(self, grads):
+        try:
+            return jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, self.axis_name), grads
+            )
+        except NameError:  # not under a mapped axis: single-process mode
+            return grads
+
+    def init(self, params):
+        return self._inner.init(params)
+
+    def update(self, grads, states, params):
+        return self._inner.update(self._allreduce(grads), states, params)
+
+    def __call__(self, params, grads):
+        return self._inner(params, self._allreduce(grads))
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)

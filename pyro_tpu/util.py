@@ -18,6 +18,36 @@ def set_rng_seed(rng_seed: int) -> None:
     _set(rng_seed)
 
 
+def get_rng_state():
+    """Snapshot the global seeding state (ref ``pyro/util.py:48``): the
+    key of the innermost active ``seed`` handler plus numpy's state, so a
+    training loop can be checkpointed and resumed deterministically."""
+    import numpy as np
+
+    from .poutine.runtime import _PYRO_STACK
+
+    key = None
+    for msngr in reversed(_PYRO_STACK):
+        if type(msngr).__name__ == "SeedMessenger":
+            key = msngr.rng_key
+            break
+    return {"seed_key": key, "numpy": np.random.get_state()}
+
+
+def set_rng_state(state) -> None:
+    """Restore state captured by :func:`get_rng_state` (ref ``util.py:55``)."""
+    import numpy as np
+
+    from .poutine.runtime import _PYRO_STACK
+
+    np.random.set_state(state["numpy"])
+    if state["seed_key"] is not None:
+        for msngr in reversed(_PYRO_STACK):
+            if type(msngr).__name__ == "SeedMessenger":
+                msngr.rng_key = state["seed_key"]
+                break
+
+
 def warn_if_nan(value, msg: str = ""):
     """Eager NaN check (ref ``pyro/util.py:92``).  Works only outside jit;
     inside jit use ``jax.debug`` tooling or checkify."""
