@@ -40,6 +40,15 @@ class NeuTraReparam(Reparam):
             fn, config=lambda msg: self if not msg["is_observed"] else None
         )
 
+    def transform_sample(self, latent):
+        """Map flat whitened latent(s) back to constrained site values
+        (ref ``neutra.py:transform_sample``)."""
+        unconstrained = self.guide._unravel_batched(latent)
+        return {
+            name: self.guide._transforms[name](u)
+            for name, u in unconstrained.items()
+        }
+
     def apply(self, msg):
         name, fn, value, is_observed = (
             msg["name"],

@@ -130,6 +130,7 @@ class SVI:
 
         self._update_fn = jax.jit(update)
         self._loss_fn = jax.jit(loss_fn)
+        self._scan_fn = None  # invalidate run_steps cache (closes over update)
 
     # -- public API ---------------------------------------------------------------
     def step(self, *args, rng_key=None, **kwargs) -> float:
@@ -175,31 +176,39 @@ class SVI:
             params = store.get_all_unconstrained()
         update = self._update_fn
 
-        @jax.jit
-        def scan_steps(params, opt_state, key, args, kwargs):
-            keys = jax.random.split(key, num_steps)
+        # The jitted scan is built ONCE and cached on the instance: the
+        # step count enters only through the shape of `keys`, so repeated
+        # run_steps calls (any length) hit jax's jit cache instead of
+        # re-tracing a fresh closure — re-tracing cost seconds per call
+        # through the device tunnel.
+        if getattr(self, "_scan_fn", None) is None:
 
-            def body(carry, k):
-                params, opt_state = carry
-                loss, params, opt_state = update(
-                    params, opt_state, k, args, kwargs
+            @jax.jit
+            def scan_fn(params, opt_state, keys, args, kwargs):
+                def body(carry, k):
+                    params, opt_state = carry
+                    loss, params, opt_state = update(
+                        params, opt_state, k, args, kwargs
+                    )
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), keys
                 )
-                return (params, opt_state), loss
+                return params, opt_state, losses
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), keys
-            )
-            return params, opt_state, losses
+            self._scan_fn = scan_fn
 
+        keys = jax.random.split(key, num_steps)
         try:
-            new_params, self._opt_state, losses = scan_steps(
-                params, self._opt_state, key, args, kwargs
+            new_params, self._opt_state, losses = self._scan_fn(
+                params, self._opt_state, keys, args, kwargs
             )
         except _MissingParam:
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
-            new_params, self._opt_state, losses = scan_steps(
-                params, self._opt_state, key, args, kwargs
+            new_params, self._opt_state, losses = self._scan_fn(
+                params, self._opt_state, keys, args, kwargs
             )
         store.set_all_unconstrained(new_params)
         return jax.device_get(losses)

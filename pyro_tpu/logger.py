@@ -1,11 +1,10 @@
-"""Default logger (ref ``pyro/logger.py``)."""
+"""Root logger (ref ``pyro/logger.py``)."""
 
 import logging
 
 default_format = "%(levelname)s \t %(message)s"
 log = logging.getLogger("pyro_tpu")
-log.setLevel(logging.INFO)
-if not log.handlers:
-    _handler = logging.StreamHandler()
-    _handler.setFormatter(logging.Formatter(default_format))
-    log.addHandler(_handler)
+default_handler = logging.StreamHandler()
+default_handler.setFormatter(logging.Formatter(default_format))
+log.addHandler(default_handler)
+log.propagate = False

@@ -20,6 +20,11 @@ class ReparamMessenger(Messenger):
     def _pyro_sample(self, msg) -> None:
         if msg["infer"].get("_do_not_trace"):
             return
+        # auxiliary sites introduced by a Reparam must not themselves be
+        # reparameterized (ref reparam_messenger.py: is_auxiliary guard) —
+        # otherwise e.g. NeuTraReparam recurses on its own latent
+        if msg["infer"].get("is_auxiliary"):
+            return
         if isinstance(self.config, dict):
             reparam = self.config.get(msg["name"])
         else:
