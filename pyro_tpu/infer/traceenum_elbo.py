@@ -228,8 +228,13 @@ class TraceEnum_ELBO(ELBO):
 
 
 def _compute_marginals(model_trace, guide_trace):
-    """Ref ``traceenum_elbo.py:224``."""
+    """Ref ``traceenum_elbo.py:224``, but via the adjoint: ONE
+    forward contraction of log Z plus one backward pass yields all
+    sites' marginals simultaneously (``ops/einsum_adjoint.py`` —
+    the autodiff form of the reference's ``ops/einsum/adjoint.py``
+    message passing)."""
     from ..distributions.discrete import Bernoulli, Categorical
+    from ..ops.einsum_adjoint import adjoint_marginals, marginal_of_dims
 
     (
         marginal_costs,
@@ -238,6 +243,15 @@ def _compute_marginals(model_trace, guide_trace):
         sum_dims,
         scale,
     ) = _compute_model_factors(model_trace, guide_trace)
+
+    _, marg_tree = adjoint_marginals(log_factors, sum_dims)
+    # original factors and their gradient-marginals align positionally
+    marg_of = {}
+    for (t, terms), (t2, mterms) in zip(
+        log_factors.items(), marg_tree.items()
+    ):
+        for term, mterm in zip(terms, mterms):
+            marg_of[id(term)] = mterm
 
     marginal_dists = OrderedDict()
     for name, site in model_trace.nodes.items():
@@ -249,14 +263,11 @@ def _compute_marginals(model_trace, guide_trace):
             continue
         enum_dim = site["infer"]["_enumerate_dim"]
         enum_symbol = site["infer"]["_enumerate_symbol"]
-        ordinal = _find_ordinal(model_trace, site)
-        logits_packed = contract_to_tensor(
-            OrderedDict(
-                (t, list(terms)) for t, terms in log_factors.items()
-            ),
-            sum_dims,
-            target_ordinal=ordinal,
-            target_dims={enum_symbol},
+        joint = marg_of[id(site["packed"]["unscaled_log_prob"])]
+        probs = marginal_of_dims(joint, {enum_symbol}, sum_dims)
+        logits_packed = packed.PackedTensor(
+            jnp.log(jnp.clip(probs.value, jnp.finfo(probs.value.dtype).tiny)),
+            probs.dims,
         )
         logits = packed.unpack(logits_packed, model_trace.symbol_to_dim)
         # move the enum dim to the rightmost position

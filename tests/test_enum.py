@@ -335,3 +335,51 @@ def test_hmm_example_models_train():
         pyro.clear_param_store()
         args.model = m
         hmm_example.main(args)
+
+
+def test_compute_marginals_markov_chain():
+    """Adjoint marginals for a 4-step enumerated markov chain match the
+    brute-force smoothing posteriors (one fwd+bwd pass computes all of
+    them simultaneously)."""
+    import itertools
+
+    T, K = 4, 3
+    rng = np.random.RandomState(0)
+    init = jnp.asarray(rng.dirichlet(np.ones(K)))
+    trans = jnp.asarray(rng.dirichlet(np.ones(K), size=K))
+    locs = jnp.asarray([-2.0, 0.0, 2.0])
+    data = jnp.asarray([-1.8, 0.2, 1.9, 0.1])
+
+    def model():
+        z = None
+        for t in pyro.markov(range(T)):
+            probs = init if z is None else trans[z]
+            z = pyro.sample(
+                f"z_{t}",
+                dist.Categorical(probs=probs),
+                infer={"enumerate": "parallel"},
+            )
+            pyro.sample(f"x_{t}", dist.Normal(locs[z], 1.0), obs=data[t])
+
+    def guide():
+        pass
+
+    elbo = TraceEnum_ELBO(max_plate_nesting=0)
+    marginals = elbo.compute_marginals(model, guide, rng_key=KEY)
+
+    # brute force over all K^T paths
+    joint = {}
+    for path in itertools.product(range(K), repeat=T):
+        lp = float(jnp.log(init[path[0]]))
+        for t in range(1, T):
+            lp += float(jnp.log(trans[path[t - 1], path[t]]))
+        for t in range(T):
+            lp += float(dist.Normal(locs[path[t]], 1.0).log_prob(data[t]))
+        joint[path] = lp
+    Z = logsumexp(np.asarray(list(joint.values())))
+    for t in range(T):
+        expected = np.zeros(K)
+        for path, lp in joint.items():
+            expected[path[t]] += np.exp(lp - Z)
+        actual = np.asarray(marginals[f"z_{t}"].probs).reshape(-1)
+        assert np.allclose(actual, expected, atol=1e-4), (t, actual, expected)
