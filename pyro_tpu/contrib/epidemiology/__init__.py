@@ -8,14 +8,47 @@ round.
 """
 
 from .compartmental import CompartmentalModel
-from .distributions import beta_binomial_dist, binomial_dist, infection_dist
-from .models import SimpleSEIRModel, SimpleSIRModel
+from .distributions import (
+    beta_binomial_dist,
+    binomial_dist,
+    infection_dist,
+    negative_binomial_dist,
+    poisson_dist,
+    set_approx_log_prob_tol,
+    set_approx_sample_thresh,
+    set_relaxed_distributions,
+)
+from .models import (
+    HeterogeneousRegionalSIRModel,
+    HeterogeneousSIRModel,
+    OverdispersedSEIRModel,
+    OverdispersedSIRModel,
+    RegionalSIRModel,
+    SimpleSEIRDModel,
+    SimpleSEIRModel,
+    SimpleSIRModel,
+    SparseSIRModel,
+    SuperspreadingSEIRModel,
+    SuperspreadingSIRModel,
+    UnknownStartSIRModel,
+)
 
 __all__ = [
     "CompartmentalModel",
+    "HeterogeneousRegionalSIRModel",
+    "HeterogeneousSIRModel",
+    "OverdispersedSEIRModel",
+    "OverdispersedSIRModel",
+    "RegionalSIRModel",
+    "SimpleSEIRDModel",
     "SimpleSEIRModel",
     "SimpleSIRModel",
     "beta_binomial_dist",
     "binomial_dist",
     "infection_dist",
+    "negative_binomial_dist",
+    "poisson_dist",
+    "set_approx_log_prob_tol",
+    "set_approx_sample_thresh",
+    "set_relaxed_distributions",
 ]

@@ -28,11 +28,32 @@ class CompartmentalModel:
     """Subclass and implement ``global_model``, ``initialize``, and
     ``transition`` (ref ``compartmental.py:81``)."""
 
-    def __init__(self, compartments: List[str], duration: int, population: int):
+    def __init__(
+        self,
+        compartments: List[str],
+        duration: int,
+        population,
+        *,
+        approximate=(),
+    ):
         self.compartments = list(compartments)
         self.duration = duration
         self.population = population
+        self.approximate = tuple(approximate)
+        # regional models pass a vector population (ref compartmental.py:155)
+        self.is_regional = jnp.ndim(jnp.asarray(population)) > 0
         self.samples: Dict[str, jnp.ndarray] = {}
+        # relaxed mode: count distributions become moment-matched Normals
+        # over real flows during inference (ref fit_svi relaxed=True path)
+        self.relaxed = True
+
+    @property
+    def region_plate(self):
+        """Plate over regions for vector-population models
+        (ref ``compartmental.py:170``)."""
+        assert self.is_regional
+        n = jnp.shape(jnp.asarray(self.population))[0]
+        return pyro.plate("region", n, dim=-1)
 
     # -- to implement ----------------------------------------------------------
     def global_model(self):
@@ -45,16 +66,21 @@ class CompartmentalModel:
         raise NotImplementedError
 
     # -- inference ---------------------------------------------------------------
-    def _model(self):
-        params = self.global_model()
-        state = {
-            k: jnp.asarray(v, jnp.result_type(float))
-            for k, v in self.initialize(params).items()
-        }
-        for t in pyro.markov(range(self.duration)):
-            state = dict(state)
-            self._t = t
-            state = self.transition(params, state, t) or state
+    def _model(self, forecast: int = 0):
+        from .distributions import set_relaxed_distributions
+
+        with set_relaxed_distributions(self.relaxed):
+            params = self.global_model()
+            state = {
+                k: jnp.asarray(v, jnp.result_type(float))
+                for k, v in self.initialize(params).items()
+            }
+            for t in pyro.markov(range(self.duration + forecast)):
+                state = dict(state)
+                self._t = t
+                state = self.transition(params, state, t) or state
+                for name in self.compartments:
+                    pyro.deterministic(f"{name}_{t}", state[name])
         return params
 
     def fit_svi(
@@ -114,15 +140,24 @@ class CompartmentalModel:
         self.guide = None
         return mcmc
 
-    def predict(self, num_samples: int = 100, rng_key=None) -> Dict:
+    def predict(
+        self, num_samples: int = 100, forecast: int = 0, rng_key=None
+    ) -> Dict:
         """Posterior samples of all sites (ref ``compartmental.py:663``):
         from the SVI guide after :meth:`fit_svi`, or from the stored MCMC
-        samples after :meth:`fit_mcmc`."""
+        samples after :meth:`fit_mcmc`.  With ``forecast=N`` the model
+        rolls N extra steps past the data (forecast flows drawn from the
+        transition prior given posterior parameters)."""
         from ...infer import Predictive
 
+        model = (
+            self._model
+            if forecast == 0
+            else (lambda: self._model(forecast))
+        )
         if getattr(self, "guide", None) is not None:
             pred = Predictive(
-                self._model, guide=self.guide, num_samples=num_samples
+                model, guide=self.guide, num_samples=num_samples
             )
             self.samples = pred(rng_key=rng_key)
         else:
@@ -134,7 +169,7 @@ class CompartmentalModel:
                 n, size=min(num_samples, n), replace=False
             )
             sub = {k: v[idx] for k, v in self.samples.items()}
-            pred = Predictive(self._model, posterior_samples=sub)
+            pred = Predictive(model, posterior_samples=sub)
             out = pred(rng_key=rng_key)
             out.update(sub)
             self.samples = out

@@ -57,7 +57,11 @@ class Delta(Distribution):
         return jnp.broadcast_to(self.v, shape)
 
     def log_prob(self, value):
-        v = jnp.broadcast_to(self.v, jnp.shape(value))
+        # two-sided broadcast: a plate may have expanded v beyond value
+        # (e.g. a deterministic site inside a plate) or vice versa
+        shape = jnp.broadcast_shapes(jnp.shape(self.v), jnp.shape(value))
+        v = jnp.broadcast_to(self.v, shape)
+        value = jnp.broadcast_to(value, shape)
         lp = jnp.where(value == v, 0.0, -jnp.inf)
         lp = sum_rightmost(lp, self._event_dim_arg)
         return lp + self.log_density

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import pyro_tpu as pyro
 import pyro_tpu.distributions as dist
@@ -42,10 +43,11 @@ def test_infection_dist_moments():
 
 
 def test_simple_sir_fit_and_predict():
-    # simulate a small outbreak
+    # simulate an outbreak that actually ignites (pop=500/I0=1 with this
+    # seed never takes off, leaving R0 unidentified: data is all 0s/1s)
     rng = np.random.RandomState(0)
-    population, tau, R0, rho = 500, 4.0, 2.0, 0.6
-    S, I = population - 1, 1.0
+    population, tau, R0, rho = 1000, 4.0, 2.0, 0.6
+    S, I = population - 5, 5.0
     data = []
     for t in range(20):
         p = 1 - np.exp(-R0 / tau * I / population)
@@ -112,3 +114,152 @@ def test_sir_fit_mcmc():
     assert 0.8 < R0_est < 5.0, R0_est
     pred = model.predict(num_samples=20, rng_key=jax.random.key(1))
     assert "R0" in pred
+
+
+def _sim_sir(rng, population, tau, R0, rho, T, I0=5):
+    S, I = population - I0, float(I0)
+    data = []
+    for _ in range(T):
+        p = 1 - np.exp(-R0 / tau * I / population)
+        s2i = rng.binomial(int(S), p)
+        i2r = rng.binomial(int(I), 1 / tau)
+        S -= s2i
+        I += s2i - i2r
+        data.append(rng.binomial(max(s2i, 1), rho))
+    return jnp.asarray(data, jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "cls_kwargs",
+    [
+        ("SimpleSEIRDModel", dict(incubation_time=3.0, recovery_time=4.0, mortality_rate=0.1)),
+        ("OverdispersedSIRModel", dict(recovery_time=4.0)),
+        ("OverdispersedSEIRModel", dict(incubation_time=3.0, recovery_time=4.0)),
+        ("SuperspreadingSIRModel", dict(recovery_time=4.0)),
+        ("HeterogeneousSIRModel", dict(recovery_time=4.0)),
+    ],
+    ids=lambda c: c[0],
+)
+def test_model_family_smoke(cls_kwargs):
+    import pyro_tpu.contrib.epidemiology as epi
+
+    name, kwargs = cls_kwargs
+    rng = np.random.RandomState(0)
+    data = _sim_sir(rng, 1000, 4.0, 2.5, 0.5, 8)
+    model = getattr(epi, name)(1000, data=data, **{
+        k: v for k, v in kwargs.items()
+    })
+    losses = model.fit_svi(num_steps=400, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    samples = model.predict(num_samples=10, rng_key=jax.random.key(1))
+    assert "R0" in samples
+    assert np.isfinite(np.asarray(samples["R0"])).all()
+
+
+def test_regional_sir_smoke():
+    from pyro_tpu.contrib.epidemiology import RegionalSIRModel
+
+    rng = np.random.RandomState(1)
+    R = 3
+    population = jnp.asarray([500.0, 800.0, 300.0])
+    coupling = jnp.asarray(
+        [[0.9, 0.05, 0.05], [0.05, 0.9, 0.05], [0.1, 0.1, 0.8]]
+    )
+    data = jnp.asarray(rng.poisson(5.0, size=(8, R)), jnp.float32)
+    model = RegionalSIRModel(population, coupling, 4.0, data)
+    losses = model.fit_svi(num_steps=400, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    samples = model.predict(num_samples=10, rng_key=jax.random.key(2))
+    assert samples["rho"].shape[-1] == R
+
+
+def test_relaxed_distributions_context():
+    from pyro_tpu.contrib.epidemiology import (
+        binomial_dist,
+        poisson_dist,
+        set_relaxed_distributions,
+    )
+
+    d = binomial_dist(100.0, 0.3)
+    assert isinstance(d, dist.Binomial)
+    with set_relaxed_distributions():
+        r = binomial_dist(100.0, 0.3)
+        assert isinstance(r, dist.Normal)
+        # moment matched
+        assert np.allclose(float(r.loc), 30.0)
+        assert np.allclose(float(r.scale) ** 2, 100 * 0.3 * 0.7, rtol=1e-5)
+        p = poisson_dist(9.0)
+        assert isinstance(p, dist.Normal)
+        assert np.allclose(float(p.loc), 9.0)
+    # restored on exit
+    assert isinstance(binomial_dist(10.0, 0.5), dist.Binomial)
+
+
+def test_sparse_and_unknown_start_smoke():
+    from pyro_tpu.contrib.epidemiology import (
+        SparseSIRModel,
+        UnknownStartSIRModel,
+    )
+
+    rng = np.random.RandomState(3)
+    data = _sim_sir(rng, 1000, 4.0, 2.5, 0.5, 8)
+    cum = jnp.cumsum(data)
+    mask = jnp.asarray([t % 3 == 2 for t in range(8)])
+    m = SparseSIRModel(1000, 4.0, cum, mask)
+    losses = m.fit_svi(num_steps=400, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    s = m.predict(num_samples=10, rng_key=jax.random.key(5))
+    assert "R0" in s
+
+    m2 = UnknownStartSIRModel(1000, 4.0, 4, data)
+    losses = m2.fit_svi(num_steps=400, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    s2 = m2.predict(num_samples=10, rng_key=jax.random.key(6))
+    assert "rho0" in s2 and "rho1" in s2
+
+
+def test_superspreading_seir_with_phylogeny_smoke():
+    from pyro_tpu.contrib.epidemiology import SuperspreadingSEIRModel
+    from pyro_tpu.distributions import CoalescentTimes
+
+    rng = np.random.RandomState(4)
+    data = _sim_sir(rng, 1000, 4.0, 2.5, 0.5, 8)
+    # synthetic phylogeny: 6 leaves within the observation window
+    leaf_times = jnp.asarray([7.0, 6.0, 6.5, 5.0, 7.5, 4.0])
+    coal_times = jnp.sort(
+        CoalescentTimes(leaf_times).sample(jax.random.key(0))
+    )
+    coal_times = jnp.clip(coal_times, 0.0)
+    model = SuperspreadingSEIRModel(
+        1000, 3.0, 4.0, data, leaf_times=leaf_times, coal_times=coal_times
+    )
+    losses = model.fit_svi(num_steps=300, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    s = model.predict(num_samples=10, rng_key=jax.random.key(1))
+    assert "k" in s and np.isfinite(np.asarray(s["k"])).all()
+
+
+def test_heterogeneous_regional_smoke():
+    from pyro_tpu.contrib.epidemiology import HeterogeneousRegionalSIRModel
+
+    rng = np.random.RandomState(5)
+    R = 2
+    population = jnp.asarray([600.0, 400.0])
+    coupling = jnp.asarray([[0.9, 0.1], [0.1, 0.9]])
+    data = jnp.asarray(rng.poisson(4.0, size=(6, R)), jnp.float32)
+    model = HeterogeneousRegionalSIRModel(population, coupling, 4.0, data)
+    losses = model.fit_svi(num_steps=300, learning_rate=0.05)
+    assert losses[-1] < losses[0]
+    s = model.predict(num_samples=10, rng_key=jax.random.key(2))
+    assert "R0" in s
+
+
+def test_forecast():
+    rng = np.random.RandomState(6)
+    data = _sim_sir(rng, 1000, 4.0, 2.5, 0.5, 8)
+    model = SimpleSIRModel(1000, 4.0, data)
+    model.fit_svi(num_steps=400, learning_rate=0.05)
+    s = model.predict(num_samples=10, forecast=4, rng_key=jax.random.key(3))
+    # sites past the data exist and are finite
+    assert "S2I_11" in s and "obs_11" in s and "I_11" in s
+    assert np.isfinite(np.asarray(s["I_11"])).all()
