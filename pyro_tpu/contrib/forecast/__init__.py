@@ -1,9 +1,10 @@
 """Forecasting framework (ref ``pyro/contrib/forecast``)."""
 
 from .evaluate import backtest, eval_crps, eval_mae, eval_rmse
-from .forecaster import Forecaster, ForecastingModel
+from .forecaster import HMCForecaster, Forecaster, ForecastingModel
 
 __all__ = [
+    "HMCForecaster",
     "Forecaster",
     "ForecastingModel",
     "backtest",

@@ -161,3 +161,94 @@ class Forecaster:
                 )()
             outs.append(out)
         return jnp.stack(outs)
+
+
+class HMCForecaster:
+    """Forecaster using NUTS posterior samples instead of SVI
+    (ref ``forecaster.py:395``).  Chains are vmapped on-device; optional
+    Haar/DCT time reparameterization whitens long time series for HMC."""
+
+    def __init__(
+        self,
+        model: ForecastingModel,
+        data,
+        covariates=None,
+        *,
+        num_warmup: int = 1000,
+        num_samples: int = 1000,
+        num_chains: int = 1,
+        time_reparam=None,
+        dense_mass: bool = False,
+        max_tree_depth: int = 10,
+        rng_key=None,
+    ):
+        from ...infer.mcmc import MCMC, NUTS
+        from ...infer.reparam import HaarReparam, DiscreteCosineReparam
+
+        if time_reparam == "haar":
+            config = lambda site: (
+                HaarReparam() if not site["is_observed"] else None
+            )
+            model_fn = poutine.reparam(
+                lambda: model(self._zeros(data, covariates), covariates),
+                config=config,
+            )
+        elif time_reparam == "dct":
+            config = lambda site: (
+                DiscreteCosineReparam()
+                if not site["is_observed"]
+                else None
+            )
+            model_fn = poutine.reparam(
+                lambda: model(self._zeros(data, covariates), covariates),
+                config=config,
+            )
+        elif time_reparam is None:
+            model_fn = lambda: model(data, covariates)
+        else:
+            raise ValueError(f"unknown time_reparam: {time_reparam!r}")
+
+        self.model = model
+        kernel = NUTS(
+            model_fn,
+            full_mass=dense_mass,
+            max_tree_depth=max_tree_depth,
+        )
+        mcmc = MCMC(
+            kernel,
+            warmup_steps=num_warmup,
+            num_samples=num_samples,
+            num_chains=num_chains,
+        )
+        mcmc.run(
+            rng_key=rng_key if rng_key is not None else jax.random.key(0)
+        )
+        self._mcmc = mcmc
+        self._samples = mcmc.get_samples()
+        self._num_samples = num_samples * num_chains
+
+    @staticmethod
+    def _zeros(data, covariates):
+        return data
+
+    def __call__(self, data, covariates, num_samples: int, rng_key=None):
+        """Forecast by replaying random posterior draws through the model
+        over the extended covariate window (ref ``forecaster.py:487``)."""
+        if rng_key is None:
+            rng_key = jax.random.key(17)
+        k_idx, k_fore = jax.random.split(rng_key)
+        idx = jax.random.randint(
+            k_idx, (num_samples,), 0, self._num_samples
+        )
+        keys = jax.random.split(k_fore, num_samples)
+        outs = []
+        for i, key in zip(idx.tolist(), keys):
+            sample_i = {
+                name: value[i] for name, value in self._samples.items()
+            }
+            with poutine.seed(rng_key=key):
+                out = poutine.condition(
+                    lambda: self.model(data, covariates), data=sample_i
+                )()
+            outs.append(out)
+        return jnp.stack(outs)

@@ -1,10 +1,11 @@
 """Time series models (ref ``pyro/contrib/timeseries``)."""
 
 from .base import TimeSeriesModel
-from .gp import IndependentMaternGP, LinearlyCoupledMaternGP
+from .gp import DependentMaternGP, IndependentMaternGP, LinearlyCoupledMaternGP
 from .lgssm import GenericLGSSM
 
 __all__ = [
+    "DependentMaternGP",
     "GenericLGSSM",
     "IndependentMaternGP",
     "LinearlyCoupledMaternGP",

@@ -189,3 +189,16 @@ class AutoGaussian(AutoStructured):
             init_loc_fn=init_loc_fn,
             init_scale=init_scale,
         )
+
+
+class AutoGaussianDense(AutoGaussian):
+    """Dense backend of AutoGaussian (ref ``gaussian.py:311``): in this
+    framework AutoGaussian's linear-dependency conditionals already
+    materialize as dense per-edge weight matrices in one XLA program, so
+    the dense backend is the default implementation."""
+
+
+class AutoGaussianFunsor(AutoGaussian):
+    """Funsor backend name (ref ``gaussian.py:444``).  The funsor message
+    passing it implements is served natively by the contraction engine
+    (``ops/contract.py``); this alias exists for API parity."""

@@ -121,3 +121,53 @@ def test_backtest():
     assert len(results) >= 1
     for r in results:
         assert np.isfinite(r["mae"]) and np.isfinite(r["crps"])
+
+
+def test_hmc_forecaster():
+    import pyro_tpu as pyro
+    from pyro_tpu.contrib.forecast import ForecastingModel, HMCForecaster
+
+    pyro.clear_param_store()
+    rng = np.random.RandomState(0)
+    T = 20
+    data = jnp.asarray(
+        (np.sin(np.arange(T) / 3.0) + rng.randn(T) * 0.2).reshape(T, 1),
+        jnp.float32,
+    )
+    cov = jnp.zeros((T + 5, 0))
+
+    class Model(ForecastingModel):
+        def model(self, zero_data, covariates):
+            duration = zero_data.shape[-2]
+            init = dist.MultivariateNormal(
+                jnp.zeros(1), covariance_matrix=jnp.eye(1)
+            )
+            trans = dist.MultivariateNormal(
+                jnp.zeros(1), covariance_matrix=0.1 * jnp.eye(1)
+            )
+            sigma = pyro.sample("sigma", dist.LogNormal(-1.0, 1.0))
+            obs = dist.MultivariateNormal(
+                jnp.zeros(1),
+                covariance_matrix=(sigma**2)[..., None, None] * jnp.eye(1),
+            )
+            noise = dist.GaussianHMM(
+                init,
+                jnp.asarray([[0.9]]),
+                trans,
+                jnp.eye(1),
+                obs,
+                duration=duration,
+            )
+            self.predict(noise, jnp.zeros_like(zero_data[..., :1]) * 0.0)
+
+    fc = HMCForecaster(
+        Model(),
+        data,
+        cov,
+        num_warmup=150,
+        num_samples=150,
+        rng_key=jax.random.key(0),
+    )
+    samples = fc(data, cov, num_samples=10, rng_key=jax.random.key(1))
+    assert samples.shape == (10, 5, 1)
+    assert np.isfinite(np.asarray(samples)).all()

@@ -110,3 +110,32 @@ def test_generic_lgssm():
     assert losses[-1] < losses[0]
     fore = m.forecast(targets, 3)
     assert fore.batch_shape == (3,)
+
+
+def test_dependent_matern_gp():
+    """Correlated Wiener noise induces cross-output correlation; identity
+    tril reduces to independent marginals; stationary covariance is PSD."""
+    import pyro_tpu as pyro
+    from pyro_tpu.contrib.timeseries import DependentMaternGP
+    from pyro_tpu.distributions import constraints
+    from pyro_tpu.distributions.transforms import biject_to
+
+    pyro.clear_param_store()
+    dg = DependentMaternGP(obs_dim=2, length_scale_init=jnp.asarray([1.5, 2.5]))
+    S = np.asarray(dg._stationary_covariance())
+    assert (np.linalg.eigvalsh(S) > -1e-6).all()
+    y = jnp.asarray(np.random.RandomState(0).randn(20, 2), jnp.float32)
+    assert np.isfinite(float(dg.log_prob(y)))
+
+    store = pyro.get_param_store()
+    k = [k for k in store.keys() if "wiener" in k][0]
+    store._params[k] = biject_to(constraints.lower_cholesky).inv(
+        jnp.asarray([[1.0, 0.0], [0.95, 0.31]])
+    )
+    x = dg.get_dist(duration=500).rsample(jax.random.key(0))
+    corr = float(np.corrcoef(np.asarray(x).T)[0, 1])
+    assert corr > 0.4, corr
+    store._params[k] = biject_to(constraints.lower_cholesky).inv(jnp.eye(2))
+    x2 = dg.get_dist(duration=500).rsample(jax.random.key(0))
+    corr2 = float(np.corrcoef(np.asarray(x2).T)[0, 1])
+    assert abs(corr2) < 0.25, corr2
