@@ -133,7 +133,15 @@ class Distribution(metaclass=DistributionMeta):
     def sample(self, key, sample_shape=()):
         if self.has_rsample:
             return self.rsample(key, sample_shape)
-        raise NotImplementedError
+        # a subclass may declare has_rsample = False on a distribution that
+        # implements rsample (e.g. testing.fakes force the score-function
+        # path): sample via rsample with gradients detached, like torch
+        try:
+            return jax.lax.stop_gradient(self.rsample(key, sample_shape))
+        except NotImplementedError:
+            raise NotImplementedError(
+                f"{type(self).__name__}.sample is not implemented"
+            )
 
     def rsample(self, key, sample_shape=()):
         raise NotImplementedError(

@@ -75,33 +75,58 @@ def get_plate_stacks(trace) -> Dict[str, List]:
 
 
 def compute_site_dice_factor(site):
-    """Per-site DiCE log factor + log normalizer (ref ``infer/util.py:170``).
+    """Per-site DiCE log factor + log normalizer (ref ``infer/util.py:174``).
 
-    Exhaustively-enumerated sites contribute their exact (scaled) log_prob;
-    Monte-Carlo sites contribute a zero-valued term that carries the score-
-    function gradient (log q − stop_grad(log q))."""
+    Only NON-reparameterized sites carry a score-function factor
+    (``score_parts.score_function`` is identically zero for fully
+    reparameterized sites — their gradients already flow pathwise through
+    the cost terms, and adding a score factor double-counts, biasing the
+    gradient; caught via a Beta-Bernoulli posterior landing at 0.20
+    instead of the exact 0.105)."""
     import math
 
+    from ..distributions.util import is_identically_zero
     from ..ops.packed import PackedTensor
 
     log_denom = 0.0
-    log_prob = site["packed"]["log_prob"]
+    score_function = site["packed"]["score_parts"].score_function
     if site["infer"].get("enumerate"):
         num_samples = site["infer"].get("num_samples")
         if num_samples is not None:  # TMC sampled enumeration
-            log_prob = PackedTensor(
-                log_prob.value - jax.lax.stop_gradient(log_prob.value),
-                log_prob.dims,
-            )
+            log_prob = site["packed"]["log_prob"]
+            if not is_identically_zero(score_function):
+                log_prob = PackedTensor(
+                    score_function.value
+                    - jax.lax.stop_gradient(score_function.value),
+                    score_function.dims,
+                )
+            else:
+                log_prob = PackedTensor(
+                    jnp.zeros_like(log_prob.value), log_prob.dims
+                )
             log_denom = math.log(num_samples)
+            return log_prob, log_denom
         elif site["infer"]["enumerate"] == "sequential":
             log_denom = math.log(
                 site["infer"].get("_enum_total", 1)
             )
-    else:  # monte carlo sampled
+        # exhaustive enumeration: the dice factor is the exact
+        # (undetached) probability weighting exp(log q) — discrete sites
+        # are non-reparam, so score_function IS the packed log_prob
+        log_prob = (
+            site["packed"]["log_prob"]
+            if is_identically_zero(score_function)
+            else score_function
+        )
+        return log_prob, log_denom
+    # monte carlo sampled
+    if is_identically_zero(score_function):
+        log_prob = PackedTensor(jnp.zeros(()), "")
+    else:
         log_prob = PackedTensor(
-            log_prob.value - jax.lax.stop_gradient(log_prob.value),
-            log_prob.dims,
+            score_function.value
+            - jax.lax.stop_gradient(score_function.value),
+            score_function.dims,
         )
     return log_prob, log_denom
 
