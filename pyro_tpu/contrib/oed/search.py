@@ -43,8 +43,15 @@ class Search:
             try:
                 with poutine.handlers.TraceMessenger() as tm:
                     with EscapeMessenger(escape_fn):
-                        replayed(*args, **kwargs)
+                        ret = replayed(*args, **kwargs)
                 full = tm.get_trace()
+                # record the model's return value (the reference trace
+                # always carries a _RETURN node; HashingMarginal reads it)
+                full.nodes["_RETURN"] = {
+                    "type": "return",
+                    "name": "_RETURN",
+                    "value": ret,
+                }
                 traces.append(full)
             except NonlocalExit as site_container:
                 msg = site_container.site
