@@ -242,9 +242,23 @@ class Gamma(UnivariateMixin, Distribution):
         return jsp.gammainc(self.concentration, self.rate * value)
 
     def conjugate_update(self, other):
-        """Gamma(a,b) * Poisson-style likelihood fusion is handled in
-        conjugate.py; kept for API parity (ref ``torch.py`` patches)."""
-        raise NotImplementedError
+        """Fuse two Gamma densities: p(z) q(z) = updated(z) exp(log_norm)
+        (ref ``torch.py:178``)."""
+        assert isinstance(other, Gamma)
+        concentration = self.concentration + other.concentration - 1
+        rate = self.rate + other.rate
+        updated = Gamma(concentration, rate)
+
+        def _log_normalizer(d):
+            c = d.concentration
+            return jnp.log(d.rate) * c - jax.lax.lgamma(c)
+
+        log_normalizer = (
+            _log_normalizer(self)
+            + _log_normalizer(other)
+            - _log_normalizer(updated)
+        )
+        return updated, log_normalizer
 
 
 class Chi2(Gamma):
@@ -305,6 +319,28 @@ class Beta(UnivariateMixin, Distribution):
     support = constraints.unit_interval
     has_rsample = True
     reparametrized_params = ("concentration1", "concentration0")
+
+    def conjugate_update(self, other):
+        """Fuse two Beta densities (ref ``torch.py:24``)."""
+        assert isinstance(other, Beta)
+        concentration1 = self.concentration1 + other.concentration1 - 1
+        concentration0 = self.concentration0 + other.concentration0 - 1
+        updated = Beta(concentration1, concentration0)
+
+        def _log_normalizer(d):
+            x, y = d.concentration1, d.concentration0
+            return (
+                jax.lax.lgamma(x + y)
+                - jax.lax.lgamma(x)
+                - jax.lax.lgamma(y)
+            )
+
+        log_normalizer = (
+            _log_normalizer(self)
+            + _log_normalizer(other)
+            - _log_normalizer(updated)
+        )
+        return updated, log_normalizer
 
     def __init__(self, concentration1, concentration0):
         self.concentration1, self.concentration0 = promote_shapes(

@@ -316,6 +316,26 @@ class Dirichlet(Distribution):
         )
 
 
+    def conjugate_update(self, other):
+        """Fuse two Dirichlet densities (ref ``torch.py:159``)."""
+        assert isinstance(other, Dirichlet)
+        concentration = self.concentration + other.concentration - 1
+        updated = Dirichlet(concentration)
+
+        def _log_normalizer(d):
+            c = d.concentration
+            return jax.lax.lgamma(jnp.sum(c, -1)) - jnp.sum(
+                jax.lax.lgamma(c), -1
+            )
+
+        log_normalizer = (
+            _log_normalizer(self)
+            + _log_normalizer(other)
+            - _log_normalizer(updated)
+        )
+        return updated, log_normalizer
+
+
 class LKJCholesky(Distribution):
     """LKJ prior over correlation-matrix Cholesky factors.
 

@@ -33,6 +33,7 @@ from .svgd import IMQSteinKernel, RBFSteinKernel, SVGD
 from .tracegraph_elbo import TraceGraph_ELBO
 from .enum import config_enumerate, get_importance_trace
 from .traceenum_elbo import JitTraceEnum_ELBO, TraceEnum_ELBO
+from ..distributions.util import enable_validation, is_validation_enabled
 from .mcmc import HMC, MCMC, NUTS, RandomWalkKernel, StreamingMCMC
 from .predictive import MHResampler, Predictive, WeighedPredictive
 from .svi import SVI
@@ -57,7 +58,11 @@ __all__ = [
     "TracePosterior",
     "TracePredictive",
     "HMC",
+    "JitTraceGraph_ELBO",
+    "JitTraceMeanField_ELBO",
     "JitTrace_ELBO",
+    "enable_validation",
+    "is_validation_enabled",
     "MCMC",
     "MHResampler",
     "NUTS",
@@ -89,3 +94,7 @@ __all__ = [
     "render_model",
     "vectorized_importance_weights",
 ]
+
+# jit aliases (everything compiles via jax.jit in SVI)
+JitTraceGraph_ELBO = TraceGraph_ELBO
+JitTraceMeanField_ELBO = TraceMeanField_ELBO

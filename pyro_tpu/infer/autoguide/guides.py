@@ -132,6 +132,10 @@ class AutoGuideList(AutoGuide):
         self._guides = []
 
     def append(self, part) -> None:
+        if not isinstance(part, AutoGuide):
+            # plain callables are wrapped so they expose the AutoGuide
+            # interface (ref guides.py:208 wrapping in AutoCallable)
+            part = AutoCallable(self.model, part)
         self._guides.append(part)
 
     def add(self, part) -> None:
@@ -697,3 +701,35 @@ class AutoDiscreteParallel(AutoGuide):
                     infer={"enumerate": "parallel"},
                 )
         return result
+
+
+class AutoCallable(AutoGuide):
+    """AutoGuide wrapper for a plain callable guide, used when appending
+    callables to :class:`AutoGuideList` (ref ``guides.py:279``)."""
+
+    def __init__(self, model, guide, median=lambda *args, **kwargs: {}):
+        super().__init__(model)
+        self._guide = guide
+        self.median = median
+
+    def __call__(self, *args, **kwargs):
+        result = self._guide(*args, **kwargs)
+        return {} if result is None else result
+
+
+def mean_field_entropy(model, args, whitelist=None):
+    """Entropy of a fully mean-field model/guide: the sum of per-site
+    analytic entropies (ref ``guides.py:mean_field_entropy``)."""
+    import jax as _jax
+
+    from ... import poutine as _poutine
+
+    trace = _poutine.trace(
+        _poutine.seed(model, rng_key=_jax.random.key(0))
+    ).get_trace(*args)
+    entropy = 0.0
+    for name, site in trace.nodes.items():
+        if site["type"] == "sample" and not site["is_observed"]:
+            if whitelist is None or name in whitelist:
+                entropy = entropy + jnp.sum(site["fn"].entropy())
+    return entropy

@@ -74,3 +74,26 @@ def init_to_value(site=None, values=None, fallback=init_to_uniform):
     if site["name"] in values:
         return jnp.asarray(values[site["name"]])
     return fallback(site)
+
+
+def init_to_generated(site=None, generate=lambda: init_to_uniform):
+    """Initialize via a strategy regenerated once per model execution
+    (ref ``initialization.py:197``): ``generate()`` returns another init
+    function (e.g. ``init_to_value`` over fresh random draws)."""
+    init = _InitToGenerated(generate)
+    return init if site is None else init(site)
+
+
+class _InitToGenerated:
+    def __init__(self, generate):
+        self.generate = generate
+        self._instance = None
+        self._seen = set()
+
+    def __call__(self, site):
+        # regenerate when a site repeats (a new model execution started)
+        if self._instance is None or site["name"] in self._seen:
+            self._instance = self.generate()
+            self._seen = set()
+        self._seen.add(site["name"])
+        return self._instance(site)

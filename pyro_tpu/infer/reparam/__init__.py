@@ -9,11 +9,16 @@ from .projected_normal import ProjectedNormalReparam
 from .split import SplitReparam
 from .neutra import NeuTraReparam
 from .hmm import LinearHMMReparam
-from .stable import StableReparam, SymmetricStableReparam
+from .conjugate import ConjugateReparam
+from .structured import StructuredReparam
+from .stable import LatentStableReparam, StableReparam, SymmetricStableReparam
 from .studentt import StudentTReparam
 from .strategies import AutoReparam, MinimalReparam
 
 __all__ = [
+    "ConjugateReparam",
+    "LatentStableReparam",
+    "StructuredReparam",
     "AutoReparam",
     "DiscreteCosineReparam",
     "GumbelSoftmaxReparam",

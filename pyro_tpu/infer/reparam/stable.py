@@ -76,3 +76,10 @@ class StableReparam(Reparam):
 class SymmetricStableReparam(StableReparam):
     """Ref ``stable.py:SymmetricStableReparam`` — alias implementation for
     beta=0 sites (same auxiliary construction)."""
+
+
+class LatentStableReparam(StableReparam):
+    """The proper name for the latent-site CMS reparameterization
+    (ref ``stable.py:16`` ``LatentStableReparam``): our
+    :class:`StableReparam` implements exactly this construction (latent
+    sites only), so this is its canonical alias."""

@@ -124,3 +124,84 @@ def test_auto_reparam_strategy():
     ).get_trace()
     assert "x_base" in tr2
     assert "z_decentered" not in tr2
+
+
+def test_conjugate_reparam_exact_posterior():
+    """With the exact conjugate likelihood as guide, the reparameterized
+    site samples directly from the exact posterior (ref conjugate.py)."""
+    from pyro_tpu.infer.reparam import ConjugateReparam
+
+    total, count = 10.0, 2.0
+
+    def model():
+        prob = pyro.sample("prob", dist.Beta(0.5, 1.5))
+        pyro.sample(
+            "count",
+            dist.Binomial(total, probs=prob),
+            obs=jnp.asarray(count),
+        )
+
+    lik = dist.Beta(1 + count, 1 + total - count)
+    reparam_model = poutine.reparam(
+        model, config={"prob": ConjugateReparam(lik)}
+    )
+    vals = []
+    for i in range(1500):
+        tr = poutine.trace(
+            poutine.seed(reparam_model, jax.random.key(i))
+        ).get_trace()
+        vals.append(float(tr.nodes["prob"]["value"]))
+    exact = dist.Beta(0.5 + count, 1.5 + total - count)
+    assert abs(np.mean(vals) - float(exact.mean)) < 0.02
+
+
+def test_conjugate_update_fusion_identity():
+    for p, q in [
+        (dist.Beta(2.0, 3.0), dist.Beta(4.0, 1.5)),
+        (dist.Gamma(2.0, 3.0), dist.Gamma(1.5, 0.5)),
+    ]:
+        u, ln = p.conjugate_update(q)
+        z = jnp.asarray(0.37)
+        assert np.allclose(
+            float(p.log_prob(z) + q.log_prob(z)),
+            float(u.log_prob(z) + ln),
+            atol=1e-5,
+        )
+    pd = dist.Dirichlet(jnp.asarray([2.0, 3.0, 1.5]))
+    qd = dist.Dirichlet(jnp.asarray([1.2, 2.0, 4.0]))
+    u, ln = pd.conjugate_update(qd)
+    z = jnp.asarray([0.2, 0.3, 0.5])
+    assert np.allclose(
+        float(pd.log_prob(z) + qd.log_prob(z)),
+        float(u.log_prob(z) + ln),
+        atol=1e-5,
+    )
+
+
+def test_structured_reparam_preconditions_nuts():
+    from pyro_tpu.infer import MCMC, NUTS, SVI, Trace_ELBO
+    from pyro_tpu.infer.autoguide import AutoStructured
+    from pyro_tpu.infer.reparam import StructuredReparam
+    from pyro_tpu.optim import Adam
+
+    pyro.clear_param_store()
+
+    def corr_model():
+        a = pyro.sample("a", dist.Normal(0.0, 1.0))
+        b = pyro.sample("b", dist.Normal(0.0, 1.0))
+        pyro.sample("obs", dist.Normal(a + b, 0.3), obs=jnp.asarray(1.0))
+
+    guide = AutoStructured(corr_model)
+    svi = SVI(
+        corr_model, guide, Adam({"lr": 0.02}), Trace_ELBO(num_particles=8)
+    )
+    for _ in range(1000):
+        svi.step()
+    rep = StructuredReparam(guide)
+    mcmc = MCMC(
+        NUTS(rep.reparam(corr_model)), num_samples=200, warmup_steps=200
+    )
+    mcmc.run(rng_key=jax.random.key(1))
+    s = mcmc.get_samples()
+    assert set(s) == {"a_aux", "b_aux"}
+    assert np.isfinite(np.asarray(s["a_aux"])).all()
