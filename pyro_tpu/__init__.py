@@ -9,7 +9,10 @@ models, and ``jax.sharding`` meshes for multi-chip inference.
 
 from . import distributions, infer, optim, poutine
 from .params.param_store import clear_param_store, get_param_store
+from .poutine.handlers import condition, do
 from .poutine.runtime import set_rng_seed
+from . import settings
+from .logger import log
 from .util import get_rng_state, set_rng_state
 from .primitives import (
     barrier,
@@ -49,9 +52,31 @@ __all__ = [
     "sample",
     "get_rng_state",
     "get_rng_state",
+    "condition",
+    "do",
+    "iarange",
+    "irange",
+    "log",
+    "random_module",
     "set_rng_seed",
+    "settings",
     "set_rng_state",
     "set_rng_state",
     "subsample",
     "validation_enabled",
 ]
+
+
+# deprecated reference aliases
+iarange = plate  # noqa: F405  (pre-0.3 name for vectorized plate)
+irange = plate  # noqa: F405  (pre-0.3 name for sequential plate)
+
+
+def random_module(name, nn_module, prior, *args, **kwargs):
+    """Deprecated (ref ``primitives.py:random_module``): lift a module's
+    parameters to random variables.  Use
+    :func:`pyro_tpu.nn.random_flax_module` for flax modules."""
+    raise NotImplementedError(
+        "pyro.random_module is deprecated in the reference; use "
+        "pyro_tpu.nn.random_flax_module(name, module, prior, ...) instead."
+    )

@@ -4,6 +4,12 @@ Public handler list parity target: ``/root/reference/pyro/poutine/__init__.py:31
 """
 
 from .handlers import (
+    BroadcastMessenger,
+    EqualizeMessenger,
+    broadcast,
+    collapse,
+    equalize,
+    queue,
     BlockMessenger,
     ConditionMessenger,
     DoMessenger,
@@ -56,6 +62,13 @@ from .util import prune_subsample_sites, site_is_factor, site_is_subsample
 plate = PlateMessenger
 
 __all__ = [
+    "broadcast",
+    "collapse",
+    "equalize",
+    "queue",
+    "enable_validation",
+    "is_validation_enabled",
+    "unwrap",
     "CondIndepStackFrame",
     "EnumMessenger",
     "GuideMessenger",
@@ -95,3 +108,15 @@ __all__ = [
     "trace",
     "uncondition",
 ]
+
+from ..distributions.util import enable_validation, is_validation_enabled
+
+
+def unwrap(fn):
+    """Strip handler wrappers to reach the underlying callable
+    (ref ``poutine/messenger.py:59``)."""
+    while True:
+        wrapped = getattr(fn, "__wrapped__", None) or getattr(fn, "fn", None)
+        if wrapped is None or wrapped is fn:
+            return fn
+        fn = wrapped

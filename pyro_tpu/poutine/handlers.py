@@ -442,3 +442,150 @@ def enum(fn=None, first_available_dim=None):
 
     msngr = EnumMessenger(first_available_dim=first_available_dim)
     return msngr if fn is None else msngr(fn)
+
+
+def queue(
+    fn=None,
+    queue=None,
+    max_tries=None,
+    extend_fn=None,
+    escape_fn=None,
+    num_samples=None,
+):
+    """Sequential enumeration over discrete variables (ref
+    ``poutine/handlers.py:queue``): pops partial traces from ``queue``,
+    replays the model against them, and on hitting an unvisited discrete
+    site pushes all enumerated extensions back; returns the value of one
+    complete trace per call."""
+    import jax as _jax
+
+    from .runtime import NonlocalExit
+    from .util import discrete_escape, enum_extend
+
+    if max_tries is None:
+        max_tries = int(1e6)
+    if extend_fn is None:
+        extend_fn = enum_extend
+    if escape_fn is None:
+        escape_fn = discrete_escape
+    if num_samples is None:
+        num_samples = -1
+
+    def wrapper(wrapped):
+        def _fn(*args, **kwargs):
+            for _ in range(max_tries):
+                assert not queue.empty(), (
+                    "trying to get() from an empty queue will deadlock"
+                )
+                next_trace = queue.get()
+                try:
+                    ftr = trace(
+                        EscapeMessenger(
+                            lambda msg, t=next_trace: escape_fn(t, msg)
+                        )(
+                            replay(
+                                seed(wrapped, rng_key=_jax.random.key(0)),
+                                trace=next_trace,
+                            )
+                        )
+                    )
+                    return ftr(*args, **kwargs)
+                except NonlocalExit as site_container:
+                    for tr in extend_fn(
+                        ftr.msngr.get_trace(),
+                        site_container.site,
+                        num_samples=num_samples,
+                    ) if _accepts_num_samples(extend_fn) else extend_fn(
+                        ftr.msngr.get_trace(), site_container.site
+                    ):
+                        queue.put(tr)
+            raise ValueError("max tries ({}) exceeded".format(max_tries))
+
+        return _fn
+
+    return wrapper(fn) if fn is not None else wrapper
+
+
+def _accepts_num_samples(fn):
+    import inspect
+
+    try:
+        return "num_samples" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+class EqualizeMessenger(Messenger):
+    """Force the sample/param statements matching ``sites`` to share the
+    value of the first matching statement (ref
+    ``poutine/equalize_messenger.py:14``); used e.g. to tie parameters
+    across per-category submodels."""
+
+    def __init__(self, sites, type="sample"):
+        super().__init__()
+        if isinstance(sites, str):
+            sites = [sites]
+        self.sites = list(sites)
+        self.type = type
+        self._value = None
+
+    def __enter__(self):
+        self._value = None
+        return super().__enter__()
+
+    def _is_matching(self, msg):
+        return msg["type"] == self.type and msg["name"] in self.sites
+
+    def _pyro_sample(self, msg):
+        if self.type == "sample" and self._is_matching(msg):
+            if self._value is not None:
+                msg["value"] = self._value
+                msg["done"] = True
+                msg["infer"] = dict(msg.get("infer", {}), _equalized=True)
+
+    def _pyro_post_sample(self, msg):
+        if self.type == "sample" and self._is_matching(msg):
+            if self._value is None:
+                self._value = msg["value"]
+
+    def _pyro_param(self, msg):
+        if self.type == "param" and self._is_matching(msg):
+            if self._value is not None:
+                msg["value"] = self._value
+                msg["done"] = True
+
+    def _pyro_post_param(self, msg):
+        if self.type == "param" and self._is_matching(msg):
+            if self._value is None:
+                self._value = msg["value"]
+
+
+def equalize(fn=None, sites=None, type="sample"):
+    """Dual-use handler for :class:`EqualizeMessenger`."""
+    msngr = EqualizeMessenger(sites, type=type)
+    return msngr if fn is None else msngr(fn)
+
+
+class BroadcastMessenger(Messenger):
+    """Automatic broadcasting of sample distributions to enclosing plate
+    dims (ref ``broadcast_messenger.py:46``).  In this framework plate
+    broadcasting is built into :class:`~.plate_messenger.PlateMessenger`,
+    so this handler exists for API parity and is a no-op."""
+
+
+def broadcast(fn=None):
+    msngr = BroadcastMessenger()
+    return msngr if fn is None else msngr(fn)
+
+
+def collapse(fn=None, *args, **kwargs):
+    """Ref ``poutine/collapse.py``: collapses sites by funsor message
+    passing.  The funsor dependency is unavailable; use
+    ``pyro_tpu.contrib.conjugate.collapse_conjugate`` for conjugate pairs
+    or enumeration (``TraceEnum_ELBO`` / ``infer_discrete``) for discrete
+    sites, which cover the same models natively."""
+    raise NotImplementedError(
+        "poutine.collapse requires the external 'funsor' package. Use "
+        "contrib.conjugate.collapse_conjugate (conjugate pairs) or "
+        "enumeration (TraceEnum_ELBO / infer_discrete) instead."
+    )
