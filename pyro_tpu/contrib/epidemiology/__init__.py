@@ -7,6 +7,7 @@ plus prediction; the reference's quantized-NUTS machinery is a later
 round.
 """
 
+from ...distributions.coalescent import bio_phylo_to_times
 from .compartmental import CompartmentalModel
 from .distributions import (
     beta_binomial_dist,
@@ -34,6 +35,7 @@ from .models import (
 )
 
 __all__ = [
+    "bio_phylo_to_times",
     "CompartmentalModel",
     "HeterogeneousRegionalSIRModel",
     "HeterogeneousSIRModel",

@@ -2,9 +2,10 @@
 
 from .base import TimeSeriesModel
 from .gp import DependentMaternGP, IndependentMaternGP, LinearlyCoupledMaternGP
-from .lgssm import GenericLGSSM
+from .lgssm import GenericLGSSMWithGPNoiseModel, GenericLGSSM
 
 __all__ = [
+    "GenericLGSSMWithGPNoiseModel",
     "DependentMaternGP",
     "GenericLGSSM",
     "IndependentMaternGP",

@@ -1,8 +1,23 @@
 from .auto_reg_nn import AutoRegressiveNN, ConditionalAutoRegressiveNN
-from .dense_nn import ConditionalDenseNN, DenseNN
+from .pyro_module import (
+    PyroModule,
+    PyroModuleList,
+    PyroParam,
+    PyroSample,
+    pyro_method,
+    to_pyro_module_,
+)
+from .dense_nn import MaskedLinear, ConditionalDenseNN, DenseNN
 from .module import clear_module_registry, flax_module, random_flax_module
 
 __all__ = [
+    "MaskedLinear",
+    "PyroModule",
+    "PyroModuleList",
+    "PyroParam",
+    "PyroSample",
+    "pyro_method",
+    "to_pyro_module_",
     "AutoRegressiveNN",
     "ConditionalAutoRegressiveNN",
     "ConditionalDenseNN",

@@ -62,3 +62,38 @@ class ConditionalDenseNN(nn.Module):
             outs.append(out[..., start : start + pd])
             start += pd
         return tuple(outs)
+
+
+class MaskedLinear:
+    """Linear layer whose weight is elementwise-masked (ref
+    ``pyro/nn/auto_reg_nn.py:MaskedLinear``); the building block of MADE.
+    Parameters live in the param store under ``name``."""
+
+    def __init__(self, name, in_features, out_features, mask, bias=True):
+        import numpy as np
+
+        self.name = name
+        self.mask = jnp.asarray(mask)
+        assert self.mask.shape == (out_features, in_features)
+        rs = np.random.RandomState(abs(hash(name)) % (2**31))
+        bound = 1.0 / np.sqrt(in_features)
+        self._w_init = jnp.asarray(
+            rs.uniform(-bound, bound, (out_features, in_features)),
+            jnp.float32,
+        )
+        self._b_init = (
+            jnp.asarray(
+                rs.uniform(-bound, bound, (out_features,)), jnp.float32
+            )
+            if bias
+            else None
+        )
+
+    def __call__(self, x):
+        import pyro_tpu as pyro
+
+        w = pyro.param(f"{self.name}.weight", self._w_init)
+        out = x @ (w * self.mask).T
+        if self._b_init is not None:
+            out = out + pyro.param(f"{self.name}.bias", self._b_init)
+        return out

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import pyro_tpu as pyro
+from pyro_tpu import poutine
 import pyro_tpu.distributions as dist
 
 
@@ -173,3 +174,76 @@ def test_conjugate_collapse_and_posterior():
     expected = dist.Beta(2.0 + 21.0, 2.0 + 9.0)
     assert np.allclose(float(post.concentration1), float(expected.concentration1))
     assert np.allclose(float(post.concentration0), float(expected.concentration0))
+
+
+def test_pyro_module():
+    """PyroModule attributes: PyroParam -> store-backed param,
+    PyroSample -> per-call-cached sample; SVI recovers the weight."""
+    from pyro_tpu.nn import PyroModule, PyroParam, PyroSample
+    from pyro_tpu.distributions import constraints
+    from pyro_tpu.infer import SVI, Trace_ELBO
+    from pyro_tpu.infer.autoguide import AutoNormal
+    from pyro_tpu.optim import Adam
+
+    pyro.clear_param_store()
+
+    class BayesLinear(PyroModule):
+        def __init__(self):
+            super().__init__("blin")
+            self.scale = PyroParam(
+                jnp.asarray(1.0), constraint=constraints.positive
+            )
+            self.weight = PyroSample(dist.Normal(0.0, 1.0))
+
+        def forward(self, x, y=None):
+            w = self.weight
+            w2 = self.weight  # cached within a call: same traced value
+            assert w is w2
+            with pyro.plate("data", x.shape[0]):
+                return pyro.sample(
+                    "obs", dist.Normal(w * x, self.scale), obs=y
+                )
+
+    m = BayesLinear()
+    x = jnp.linspace(-1, 1, 20)
+    with poutine.seed(rng_key=jax.random.key(0)):
+        tr = poutine.trace(lambda: m(x)).get_trace()
+    assert "blin.weight" in tr.nodes
+    assert "blin.scale" in pyro.get_param_store().keys()
+    # fresh draws across calls
+    with poutine.seed(rng_key=jax.random.key(1)):
+        w1 = poutine.trace(lambda: m(x)).get_trace().nodes["blin.weight"]["value"]
+    with poutine.seed(rng_key=jax.random.key(2)):
+        w2 = poutine.trace(lambda: m(x)).get_trace().nodes["blin.weight"]["value"]
+    assert float(w1) != float(w2)
+
+    y = jnp.asarray(
+        2.5 * np.asarray(x) + 0.1 * np.random.RandomState(0).randn(20),
+        jnp.float32,
+    )
+    guide = AutoNormal(lambda x, y: m(x, y))
+    svi = SVI(lambda x, y: m(x, y), guide, Adam({"lr": 0.05}), Trace_ELBO())
+    for _ in range(800):
+        svi.step(x, y)
+    assert abs(float(guide.median()["blin.weight"]) - 2.5) < 0.2
+
+
+def test_masked_linear():
+    from pyro_tpu.nn import MaskedLinear
+
+    pyro.clear_param_store()
+    mask = jnp.asarray([[1.0, 0.0], [1.0, 1.0]])
+    ml = MaskedLinear("ml", 2, 2, mask, bias=False)
+    out = ml(jnp.asarray([[0.0, 7.0]]))
+    assert float(out[0, 0]) == 0.0  # masked path contributes nothing
+
+
+def test_lgssm_gp_noise_model():
+    from pyro_tpu.contrib.timeseries import GenericLGSSMWithGPNoiseModel
+
+    pyro.clear_param_store()
+    m = GenericLGSSMWithGPNoiseModel(obs_dim=2, state_dim=3)
+    y = jnp.asarray(np.random.RandomState(0).randn(25, 2), jnp.float32)
+    assert np.isfinite(float(m.log_prob(y)))
+    x = m.get_dist(duration=40).rsample(jax.random.key(0))
+    assert x.shape == (40, 2)
