@@ -1,0 +1,104 @@
+"""Goodness-of-fit agreement between sample() and log_prob() across the
+distribution catalog (mirrors the reference's use of
+``distributions/testing/gof.py`` in its test suite)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyro_tpu.distributions as dist
+from pyro_tpu.distributions.testing.gof import auto_goodness_of_fit
+
+TEST_FAILURE_RATE = 5e-3  # one in 200 spurious failures per test
+
+
+CASES = [
+    ("Normal", lambda: dist.Normal(0.3, 1.7)),
+    ("LogNormal", lambda: dist.LogNormal(-0.5, 0.8)),
+    ("Gamma", lambda: dist.Gamma(2.5, 1.3)),
+    ("Beta", lambda: dist.Beta(2.0, 3.5)),
+    ("Exponential", lambda: dist.Exponential(1.7)),
+    ("Cauchy", lambda: dist.Cauchy(0.0, 1.2)),
+    ("StudentT", lambda: dist.StudentT(4.0, 0.5, 1.1)),
+    ("Laplace", lambda: dist.Laplace(0.2, 0.9)),
+    ("Gumbel", lambda: dist.Gumbel(0.1, 1.3)),
+    ("Logistic", lambda: dist.Logistic(0.0, 0.7)),
+    ("SkewLogistic", lambda: dist.SkewLogistic(0.0, 1.0, 2.0)),
+    ("SoftLaplace", lambda: dist.SoftLaplace(0.0, 1.0)),
+    (
+        "SoftAsymmetricLaplace",
+        lambda: dist.SoftAsymmetricLaplace(0.0, 1.0, 1.4, 0.8),
+    ),
+    ("AsymmetricLaplace", lambda: dist.AsymmetricLaplace(0.0, 1.0, 1.5)),
+    ("Weibull", lambda: dist.Weibull(1.2, 2.0)),
+    ("Chi2", lambda: dist.Chi2(5.0)),
+    ("HalfNormal", lambda: dist.HalfNormal(1.4)),
+    ("HalfCauchy", lambda: dist.HalfCauchy(0.8)),
+    ("FisherSnedecor", lambda: dist.FisherSnedecor(6.0, 9.0)),
+    ("Kumaraswamy", lambda: dist.Kumaraswamy(2.0, 3.0)),
+    ("InverseGamma", lambda: dist.InverseGamma(3.0, 2.0)),
+    ("VonMises", lambda: dist.VonMises(0.5, 2.0)),
+    ("ContinuousBernoulli", lambda: dist.ContinuousBernoulli(0.3)),
+]
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_univariate_gof(name, make):
+    d = make()
+    samples = d.sample(jax.random.key(hash(name) % 2**31), (20000,))
+    probs = np.exp(np.asarray(d.log_prob(samples)))
+    gof = auto_goodness_of_fit(np.asarray(samples), probs)
+    assert gof > TEST_FAILURE_RATE, (name, gof)
+
+
+MULTIVARIATE_CASES = [
+    (
+        "MultivariateNormal",
+        lambda: dist.MultivariateNormal(
+            jnp.asarray([0.5, -0.3]),
+            covariance_matrix=jnp.asarray([[1.5, 0.4], [0.4, 0.8]]),
+        ),
+    ),
+    (
+        "Dirichlet3",
+        lambda: dist.Dirichlet(jnp.asarray([2.0, 3.0, 1.5])),
+    ),
+    (
+        "MultivariateStudentT",
+        lambda: dist.MultivariateStudentT(
+            5.0,
+            jnp.asarray([0.0, 0.2]),
+            jnp.asarray([[1.0, 0.0], [0.3, 0.9]]),
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,make", MULTIVARIATE_CASES, ids=[c[0] for c in MULTIVARIATE_CASES]
+)
+def test_multivariate_gof(name, make):
+    d = make()
+    n = 4000 * 2 + 1000  # > 1000 * dim
+    # fixed seeds: the NN-distance GOF p-value is itself noisy at this n
+    samples = d.sample(jax.random.key(len(name)), (n,))
+    probs = np.exp(np.asarray(d.log_prob(samples)))
+    if name.startswith("Dirichlet"):
+        # density lives on the 2-simplex: drop the dependent coordinate
+        samples = samples[..., :2]
+        gof = auto_goodness_of_fit(
+            np.asarray(samples), probs, dim=2
+        )
+    else:
+        gof = auto_goodness_of_fit(np.asarray(samples), probs)
+    assert gof > 1e-3, (name, gof)
+
+
+def test_gof_detects_wrong_density():
+    """Negative control: a mismatched density must fail decisively."""
+    d = dist.Normal(0.0, 1.0)
+    samples = d.sample(jax.random.key(0), (20000,))
+    wrong = np.exp(np.asarray(dist.Normal(0.0, 2.0).log_prob(samples)))
+    gof = auto_goodness_of_fit(np.asarray(samples), wrong)
+    assert gof < 1e-6, gof
