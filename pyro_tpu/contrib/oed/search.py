@@ -41,9 +41,14 @@ class Search:
                 trace=partial,
             )
             try:
-                with poutine.handlers.TraceMessenger() as tm:
-                    with EscapeMessenger(escape_fn):
-                        ret = replayed(*args, **kwargs)
+                # the outer block hides this enumeration's sites from any
+                # ENCLOSING handlers (nested Search inside another model's
+                # trace, e.g. recursive RSA marginals) while the inner
+                # trace/escape messengers still see them
+                with poutine.block():
+                    with poutine.handlers.TraceMessenger() as tm:
+                        with EscapeMessenger(escape_fn):
+                            ret = replayed(*args, **kwargs)
                 full = tm.get_trace()
                 # record the model's return value (the reference trace
                 # always carries a _RETURN node; HashingMarginal reads it)
