@@ -79,3 +79,33 @@ def sparse_multinomial_likelihood(total_count, nonzero_logits, nonzero_counts):
         - jnp.sum(jsp.gammaln(nonzero_counts + 1), axis=-1)
         + jnp.sum(nonzero_logits * nonzero_counts, axis=-1)
     )
+
+
+def log_I1(orders: int, value, terms: int = 250):
+    """First ``orders+1`` log modified Bessel functions of the first kind
+    (ref ``special.py:113``); used by von Mises-family models."""
+    import jax
+
+    value = jnp.asarray(value, jnp.result_type(float))
+    vshape = value.shape if value.ndim else (1,)
+    value = value.reshape(-1, 1)
+    orders = orders + 1
+
+    k = jnp.arange(terms)
+    lgammas_all = jax.lax.lgamma(
+        jnp.arange(1.0, terms + orders + 1)
+    )
+    lvalues = jnp.log(value / 2) * k[None, :]
+    lfactorials = lgammas_all[:terms]
+    lgammas = jnp.tile(lgammas_all, (orders, 1))
+    indices = k[:orders][:, None] + k[None, :]
+    from jax.scipy.special import logsumexp
+
+    seqs = logsumexp(
+        2 * lvalues[None, :, :]
+        - lfactorials[None, None, :]
+        - jnp.take_along_axis(lgammas, indices, axis=1)[:, None, :],
+        axis=-1,
+    )
+    i1s = lvalues[..., :orders].T + seqs
+    return i1s.reshape(-1, *vshape)

@@ -196,3 +196,43 @@ def energy_score_empirical(pred, truth):
     )
     t2 = jnp.sum(pairwise) / (2 * n * n)
     return t1 - t2
+
+
+def weighed_quantile(input, probs, log_weights, dim: int = 0):
+    """Quantiles of weighed samples (ref ``stats.py:265``)."""
+    input = jnp.asarray(input)
+    dim = dim if dim >= 0 else (input.ndim + dim)
+    probs = jnp.asarray(probs, input.dtype)
+    from jax.scipy.special import logsumexp
+
+    weights = jnp.exp(log_weights - logsumexp(jnp.asarray(log_weights)))
+    sorting_indices = jnp.argsort(input, axis=dim)
+    sorted_input = jnp.take_along_axis(input, sorting_indices, axis=dim)
+    w = jnp.cumsum(weights[sorting_indices], axis=dim)
+    w = w - jnp.min(w, axis=dim, keepdims=True)
+    w = w / jnp.max(w, axis=dim, keepdims=True)
+    indices_above = jnp.clip(
+        jnp.swapaxes(
+            jnp.sum(w[..., None] <= probs, axis=dim, keepdims=True),
+            dim,
+            -1,
+        )[..., 0],
+        None,
+        input.shape[dim] - 1,
+    )
+    indices_below = jnp.clip(indices_above - 1, 0)
+    q_below = jnp.take_along_axis(sorted_input, indices_below, axis=dim)
+    q_above = jnp.take_along_axis(sorted_input, indices_above, axis=dim)
+    probs_shape = [None] * dim + [slice(None)] + [None] * (
+        input.ndim - dim - 1
+    )
+    expanded = list(input.shape)
+    expanded[dim] = len(probs)
+    probs_b = jnp.broadcast_to(probs[tuple(probs_shape)], expanded)
+    w_below = jnp.take_along_axis(w, indices_below, axis=dim)
+    w_above = jnp.take_along_axis(w, indices_above, axis=dim)
+    frac_below = (w_above - probs_b) / jnp.clip(
+        w_above - w_below, jnp.finfo(input.dtype).tiny
+    )
+    frac_above = 1 - frac_below
+    return frac_below * q_below + frac_above * q_above

@@ -242,3 +242,60 @@ def periodic_features(duration: int, max_period=None, min_period=None, **kwargs)
         cols.append(jnp.cos(2 * math.pi * t / p))
         cols.append(jnp.sin(2 * math.pi * t / p))
     return jnp.concatenate(cols, axis=-1)
+
+
+def as_complex(x):
+    """View the trailing size-2 dim of ``x`` as complex
+    (ref ``tensor_utils.py:21``; jax arrays have no stride issues)."""
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def matmul(x, y):
+    """Batched matmul with a fast path for 1x1 (ref :427)."""
+    if x.shape[-1] == 1:
+        return x * y
+    return x @ y
+
+
+def matvecmul(x, y):
+    """Batched matrix-vector product with a 1x1 fast path (ref :433)."""
+    if x.shape[-1] == 1:
+        return x[..., 0] * y
+    return (x @ y[..., None])[..., 0]
+
+
+def triangular_solve(x, y, upper: bool = False, transpose: bool = False):
+    """Solve ``y @ out = x`` for triangular y (ref :439)."""
+    if y.shape[-1] == 1:
+        return x / y
+    if transpose:
+        y = jnp.swapaxes(y, -1, -2)
+        upper = not upper
+    y_b = jnp.broadcast_to(y, jnp.broadcast_shapes(y.shape[:-2], x.shape[:-2]) + y.shape[-2:])
+    x_b = jnp.broadcast_to(x, jnp.broadcast_shapes(y.shape[:-2], x.shape[:-2]) + x.shape[-2:])
+    return jax.scipy.linalg.solve_triangular(y_b, x_b, lower=not upper)
+
+
+def safe_normalize(x, *, p: float = 2):
+    """Project onto the p-sphere, mapping zero to [1, 0, ..., 0]
+    (ref :457)."""
+    assert p >= 0
+    norm = jnp.linalg.norm(x, ord=p, axis=-1, keepdims=True)
+    x = x / jnp.clip(norm, jnp.finfo(x.dtype).tiny)
+    default = jnp.zeros_like(x).at[..., 0].set(1.0)
+    return jnp.where(norm > 0, x, default)
+
+
+def broadcast_tensors_without_dim(tensors, dim: int):
+    """Broadcast to a common shape leaving dimension ``dim`` of each
+    tensor unchanged, so results concatenate along ``dim`` (ref :475)."""
+    shapes = [list(t.shape) for t in tensors]
+    for s in shapes:
+        s[dim] = 1
+    common = jnp.broadcast_shapes(*[tuple(s) for s in shapes])
+    out = []
+    for t in tensors:
+        target = list(common)
+        target[dim if dim >= 0 else dim + len(common)] = t.shape[dim]
+        out.append(jnp.broadcast_to(t, tuple(target)))
+    return out
