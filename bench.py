@@ -1,18 +1,29 @@
-"""Headline benchmark: VAE amortized-SVI ELBO steps/sec.
+"""Benchmark suite covering the BASELINE.md table.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "submetrics"}.
+The headline value is the geometric mean of per-benchmark speedups over the
+reference; ``submetrics`` carries each benchmark's absolute value and ratio.
+
+Benchmarks (BASELINE.md rows):
+  1. vae_elbo_steps_per_sec      — amortized SVI (examples/vae)
+  2. dmm_elbo_steps_per_sec      — deep Markov model SVI (examples/dmm)
+  3. hmm_enum_steps_per_sec      — TraceEnum_ELBO discrete HMM (examples/hmm
+                                   model_1, JSB-chorales-like shapes)
+  4. nuts_ess_per_sec            — eight_schools NUTS, vmapped chains
+  5. gaussianhmm_logprob_per_sec — GaussianHMM.log_prob calls/s at T=10,000
+                                   (associative-scan filter)
 
 The reference publishes no absolute numbers (BASELINE.md), so the baseline
 is the reference pyro-ppl v1.9.1 itself (mounted at /root/reference),
-executed on this host's CPU torch with the identical VAE architecture and
-batch size.  ``vs_baseline`` = ours / reference (higher is better).  The
-reference measurement is cached in .bench_baseline.json to keep repeat runs
-fast; delete that file to re-measure.
+executed on this host's CPU torch with identical model shapes.
+``vs_baseline`` = ours / reference (higher is better).  Reference
+measurements are cached in .bench_baseline.json; delete it to re-measure.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -21,30 +32,51 @@ BATCH = 256
 X_DIM = 784
 HIDDEN = 400
 Z_DIM = 50
+
+# DMM shapes (examples/dmm.py)
+DMM_B, DMM_T, DMM_X, DMM_Z, DMM_H = 16, 20, 32, 16, 64
+
+# discrete HMM shapes (JSB-chorales-like, examples/hmm.py model_1)
+HMM_SEQS, HMM_T, HMM_DATA, HMM_HIDDEN = 20, 32, 51, 16
+
+# GaussianHMM shapes
+GHMM_T, GHMM_HIDDEN, GHMM_OBS = 10_000, 32, 4
+
+# NUTS settings
+NUTS_WARMUP, NUTS_SAMPLES = 500, 500
+NUTS_CHAINS_OURS = 128  # vmapped on one chip
+NUTS_CHAINS_REF = 1  # reference runs chains in separate processes
+
 BASELINE_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json"
 )
 
 
-def measure_reference_pyro() -> float:
-    """VAE SVI steps/sec with the reference pyro on CPU torch.
+# =========================================================================
+# reference (pyro-ppl v1.9.1, CPU torch) measurement bodies — each runs in
+# a subprocess and prints a single float (its metric value)
+# =========================================================================
 
-    Runs in a subprocess so the reference's ``examples/`` namespace and
-    torch state never leak into our process.
-    """
+
+def _run_reference(body_name: str) -> float:
     import subprocess
 
+    here = os.path.dirname(os.path.abspath(__file__))
     code = (
         "import sys; sys.path.insert(0, '/root/reference');"
-        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r});"
-        "from bench import _reference_pyro_body; _reference_pyro_body()"
+        f"sys.path.insert(0, {here!r});"
+        f"from bench import {body_name}; {body_name}()"
     )
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=600,
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
     )
     if out.returncode != 0:
-        raise RuntimeError(f"reference benchmark failed: {out.stderr[-2000:]}")
+        raise RuntimeError(
+            f"reference benchmark {body_name} failed: {out.stderr[-2000:]}"
+        )
     return float(out.stdout.strip().splitlines()[-1])
 
 
@@ -115,29 +147,280 @@ def _reference_pyro_body() -> None:
     print(n / (time.perf_counter() - t0))
 
 
-def measure_ours() -> float:
+def _reference_dmm_body() -> None:
+    """Deep Markov model matching examples/dmm.py shapes on torch pyro."""
+    import torch
+    import torch.nn as tnn
+
+    import pyro
+    import pyro.distributions as pdist
+    from pyro.infer import SVI, Trace_ELBO
+    from pyro.optim import ClippedAdam
+
+    torch.manual_seed(0)
+    pyro.clear_param_store()
+
+    class GatedTransition(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.g1 = tnn.Linear(DMM_Z, DMM_H)
+            self.g2 = tnn.Linear(DMM_H, DMM_Z)
+            self.p1 = tnn.Linear(DMM_Z, DMM_H)
+            self.p2 = tnn.Linear(DMM_H, DMM_Z)
+            self.lin = tnn.Linear(DMM_Z, DMM_Z)
+            self.sig = tnn.Linear(DMM_Z, DMM_Z)
+
+        def forward(self, z):
+            gate = torch.sigmoid(self.g2(torch.relu(self.g1(z))))
+            prop = self.p2(torch.relu(self.p1(z)))
+            loc = (1 - gate) * self.lin(z) + gate * prop
+            scale = tnn.functional.softplus(self.sig(torch.relu(prop))) + 1e-3
+            return loc, scale
+
+    class Emitter(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = tnn.Linear(DMM_Z, DMM_H)
+            self.l2 = tnn.Linear(DMM_H, DMM_X)
+
+        def forward(self, z):
+            return self.l2(torch.relu(self.l1(z)))
+
+    class Combiner(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lz = tnn.Linear(DMM_Z, DMM_H)
+            self.loc = tnn.Linear(DMM_H, DMM_Z)
+            self.sig = tnn.Linear(DMM_H, DMM_Z)
+
+        def forward(self, z_prev, x_summary):
+            h = 0.5 * (torch.tanh(self.lz(z_prev)) + x_summary)
+            return self.loc(h), tnn.functional.softplus(self.sig(h)) + 1e-3
+
+    class Encoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l = tnn.Linear(DMM_X, DMM_H)
+
+        def forward(self, x):
+            return torch.tanh(self.l(x))
+
+    trans, emitter, combiner, encoder = (
+        GatedTransition(),
+        Emitter(),
+        Combiner(),
+        Encoder(),
+    )
+
+    def model(sequences):
+        pyro.module("transition", trans)
+        pyro.module("emitter", emitter)
+        B, T, _ = sequences.shape
+        z_prev = torch.zeros(B, DMM_Z)
+        with pyro.plate("sequences", B):
+            for t in pyro.markov(range(T)):
+                loc, scale = trans(z_prev)
+                z = pyro.sample(
+                    f"z_{t}", pdist.Normal(loc, scale).to_event(1)
+                )
+                logits = emitter(z)
+                pyro.sample(
+                    f"x_{t}",
+                    pdist.Bernoulli(logits=logits).to_event(1),
+                    obs=sequences[:, t],
+                )
+                z_prev = z
+
+    def guide(sequences):
+        pyro.module("combiner", combiner)
+        pyro.module("encoder", encoder)
+        B, T, _ = sequences.shape
+        h = encoder(sequences)
+        future = torch.flip(
+            torch.cumsum(torch.flip(h, [1]), dim=1), [1]
+        ) / torch.arange(T, 0, -1).reshape(1, T, 1)
+        z_prev = torch.zeros(B, DMM_Z)
+        with pyro.plate("sequences", B):
+            for t in pyro.markov(range(T)):
+                loc, scale = combiner(z_prev, future[:, t])
+                z = pyro.sample(
+                    f"z_{t}", pdist.Normal(loc, scale).to_event(1)
+                )
+                z_prev = z
+
+    data = (torch.rand(DMM_B, DMM_T, DMM_X) < 0.3).float()
+    svi = SVI(
+        model,
+        guide,
+        ClippedAdam({"lr": 3e-3, "clip_norm": 10.0}),
+        Trace_ELBO(),
+    )
+    for _ in range(2):
+        svi.step(data)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        svi.step(data)
+    print(n / (time.perf_counter() - t0))
+
+
+def _reference_hmm_body() -> None:
+    """TraceEnum_ELBO discrete HMM (reference examples/hmm.py model_1)."""
+    import torch
+
+    import pyro
+    import pyro.distributions as pdist
+    import pyro.poutine as poutine
+    from pyro.infer import SVI, TraceEnum_ELBO
+    from pyro.infer.autoguide import AutoDelta
+    from pyro.ops.indexing import Vindex
+    from pyro.optim import Adam
+
+    torch.manual_seed(0)
+    pyro.clear_param_store()
+
+    def model(sequences, lengths):
+        num_sequences, max_length, data_dim = sequences.shape
+        probs_x = pyro.sample(
+            "probs_x",
+            pdist.Dirichlet(0.9 * torch.eye(HMM_HIDDEN) + 0.1).to_event(1),
+        )
+        probs_y = pyro.sample(
+            "probs_y",
+            pdist.Beta(0.1, 0.9)
+            .expand([HMM_HIDDEN, data_dim])
+            .to_event(2),
+        )
+        tones_plate = pyro.plate("tones", data_dim, dim=-1)
+        with pyro.plate("sequences", num_sequences, dim=-2):
+            x = 0
+            for t in pyro.markov(range(max_length)):
+                with poutine.mask(mask=(t < lengths).unsqueeze(-1)):
+                    x = pyro.sample(
+                        f"x_{t}",
+                        pdist.Categorical(Vindex(probs_x)[..., x, :]),
+                        infer={"enumerate": "parallel"},
+                    )
+                    with tones_plate:
+                        pyro.sample(
+                            f"y_{t}",
+                            pdist.Bernoulli(
+                                Vindex(probs_y)[..., x.squeeze(-1), :]
+                            ),
+                            obs=sequences[:, t],
+                        )
+
+    guide = AutoDelta(
+        poutine.block(model, expose=["probs_x", "probs_y"])
+    )
+    sequences = (torch.rand(HMM_SEQS, HMM_T, HMM_DATA) < 0.2).float()
+    lengths = torch.full((HMM_SEQS,), HMM_T)
+    elbo = TraceEnum_ELBO(max_plate_nesting=2)
+    svi = SVI(model, guide, Adam({"lr": 0.05}), elbo)
+    svi.step(sequences, lengths)  # warmup
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        svi.step(sequences, lengths)
+    print(n / (time.perf_counter() - t0))
+
+
+def _reference_nuts_body() -> None:
+    """eight_schools NUTS ESS/sec on torch pyro (single chain)."""
+    import torch
+
+    import pyro
+    import pyro.distributions as pdist
+    from pyro.infer.mcmc import MCMC, NUTS
+    from pyro.ops.stats import effective_sample_size
+
+    torch.manual_seed(0)
+    pyro.clear_param_store()
+    y = torch.tensor([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = torch.tensor([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def model(y, sigma):
+        mu = pyro.sample("mu", pdist.Normal(0.0, 5.0))
+        tau = pyro.sample("tau", pdist.HalfCauchy(5.0))
+        with pyro.plate("J", y.shape[0]):
+            eta = pyro.sample("eta", pdist.Normal(0.0, 1.0))
+            pyro.sample("obs", pdist.Normal(mu + tau * eta, sigma), obs=y)
+
+    mcmc = MCMC(
+        NUTS(model),
+        num_samples=NUTS_SAMPLES,
+        warmup_steps=NUTS_WARMUP,
+        num_chains=NUTS_CHAINS_REF,
+        disable_progbar=True,
+    )
+    t0 = time.perf_counter()
+    mcmc.run(y, sigma)
+    dt = time.perf_counter() - t0
+    samples = mcmc.get_samples(group_by_chain=True)
+    total_ess = 0.0
+    for value in samples.values():
+        ess = effective_sample_size(value)
+        total_ess += float(ess.sum())
+    print(total_ess / dt)
+
+
+def _reference_ghmm_body() -> None:
+    """GaussianHMM.log_prob calls/sec at T=10,000 on torch pyro."""
+    import torch
+
+    import pyro.distributions as pdist
+
+    torch.manual_seed(0)
+    init = pdist.Normal(torch.zeros(GHMM_HIDDEN), 1.0).to_event(1)
+    trans_mat = 0.9 * torch.eye(GHMM_HIDDEN) + 0.01 * torch.randn(
+        GHMM_HIDDEN, GHMM_HIDDEN
+    )
+    trans = pdist.Normal(torch.zeros(GHMM_HIDDEN), 0.3).to_event(1)
+    obs_mat = torch.randn(GHMM_HIDDEN, GHMM_OBS) / GHMM_HIDDEN**0.5
+    obs = pdist.Normal(torch.zeros(GHMM_OBS), 0.5).to_event(1)
+    hmm = pdist.GaussianHMM(
+        init, trans_mat, trans, obs_mat, obs, duration=GHMM_T
+    )
+    data = torch.randn(GHMM_T, GHMM_OBS)
+    hmm.log_prob(data)  # warmup
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        hmm.log_prob(data)
+    print(n / (time.perf_counter() - t0))
+
+
+# =========================================================================
+# ours (pyro_tpu on the default JAX backend)
+# =========================================================================
+
+
+def _fresh():
+    import pyro_tpu as pyro
+    from pyro_tpu.nn import clear_module_registry
+
+    pyro.clear_param_store()
+    clear_module_registry()
+    pyro.set_rng_seed(0)
+    return pyro
+
+
+def measure_ours_vae() -> float:
     import jax
     import jax.numpy as jnp
 
-    import pyro_tpu as pyro
     from examples.vae import guide, model
     from pyro_tpu.infer import SVI, Trace_ELBO
     from pyro_tpu.optim import Adam
 
-    pyro.clear_param_store()
-    from pyro_tpu.nn import clear_module_registry
-
-    clear_module_registry()
-    pyro.set_rng_seed(0)
+    _fresh()
     x = (
         jax.random.uniform(jax.random.key(0), (BATCH, X_DIM)) < 0.5
     ).astype(jnp.float32)
     svi = SVI(model, guide, Adam({"lr": 1e-3}), Trace_ELBO())
-    # compile + warmup (the scanned update is jit-cached across calls)
     n = 2000
-    losses = svi.run_steps(n, x)
-    assert float(losses[-1]) == float(losses[-1])  # finite sync
-    # measure steady-state training throughput over repeated launches
+    losses = svi.run_steps(n, x)  # compile + warmup
+    assert float(losses[-1]) == float(losses[-1])
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -147,23 +430,210 @@ def measure_ours() -> float:
     return reps * n / dt
 
 
+def measure_ours_dmm() -> float:
+    import jax
+
+    from examples.dmm import model, guide, synthetic_data
+    from pyro_tpu.infer import SVI, Trace_ELBO
+    from pyro_tpu.optim import ClippedAdam
+
+    _fresh()
+    data = synthetic_data(jax.random.key(0), DMM_B, DMM_T)
+    svi = SVI(
+        model,
+        guide,
+        ClippedAdam({"lr": 3e-3, "clip_norm": 10.0}),
+        Trace_ELBO(),
+    )
+    n = 200
+    losses = svi.run_steps(n, data)
+    assert float(losses[-1]) == float(losses[-1])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = svi.run_steps(n, data)
+    dt = time.perf_counter() - t0
+    assert float(losses[-1]) == float(losses[-1])
+    return reps * n / dt
+
+
+def measure_ours_hmm() -> float:
+    import argparse
+
+    import jax
+    import functools
+
+    from examples.hmm import model_1, synthetic_sequences
+    from pyro_tpu.infer import SVI, TraceEnum_ELBO
+    from pyro_tpu.infer.autoguide import AutoDelta
+    from pyro_tpu import poutine
+    from pyro_tpu.optim import Adam
+
+    _fresh()
+    args = argparse.Namespace(hidden_dim=HMM_HIDDEN)
+    sequences, lengths = synthetic_sequences(
+        jax.random.key(0), HMM_SEQS, HMM_T, HMM_DATA
+    )
+    model = functools.partial(model_1, args=args)
+    guide = AutoDelta(
+        poutine.block(model, expose=["probs_x", "probs_y"])
+    )
+    elbo = TraceEnum_ELBO(max_plate_nesting=2)
+    svi = SVI(model, guide, Adam({"lr": 0.05}), elbo)
+    n = 50
+    losses = svi.run_steps(n, sequences, lengths)
+    assert float(losses[-1]) == float(losses[-1])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = svi.run_steps(n, sequences, lengths)
+    dt = time.perf_counter() - t0
+    assert float(losses[-1]) == float(losses[-1])
+    return reps * n / dt
+
+
+def measure_ours_nuts_ess() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    import pyro_tpu as pyro
+    import pyro_tpu.distributions as dist
+    from pyro_tpu.infer.mcmc import MCMC, NUTS
+
+    _fresh()
+    y = jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def model(y, sigma):
+        mu = pyro.sample("mu", dist.Normal(0.0, 5.0))
+        tau = pyro.sample("tau", dist.HalfCauchy(5.0))
+        with pyro.plate("J", y.shape[0]):
+            eta = pyro.sample("eta", dist.Normal(0.0, 1.0))
+            pyro.sample("obs", dist.Normal(mu + tau * eta, sigma), obs=y)
+
+    def run(key):
+        mcmc = MCMC(
+            NUTS(model),
+            num_samples=NUTS_SAMPLES,
+            warmup_steps=NUTS_WARMUP,
+            num_chains=NUTS_CHAINS_OURS,
+        )
+        mcmc.run(y, sigma, rng_key=key)
+        return mcmc
+
+    run(jax.random.key(0))  # compile warmup
+    t0 = time.perf_counter()
+    mcmc = run(jax.random.key(1))
+    diag = mcmc.diagnostics()
+    total_ess = sum(
+        float(jnp.asarray(d["n_eff"]).sum())
+        for d in diag.values()
+        if isinstance(d, dict) and "n_eff" in d
+    )
+    dt = time.perf_counter() - t0
+    return total_ess / dt
+
+
+def measure_ours_ghmm() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    import pyro_tpu.distributions as dist
+
+    _fresh()
+    k = jax.random.split(jax.random.key(0), 3)
+    init = dist.Normal(jnp.zeros(GHMM_HIDDEN), 1.0).to_event(1)
+    trans_mat = 0.9 * jnp.eye(GHMM_HIDDEN) + 0.01 * jax.random.normal(
+        k[0], (GHMM_HIDDEN, GHMM_HIDDEN)
+    )
+    trans = dist.Normal(jnp.zeros(GHMM_HIDDEN), 0.3).to_event(1)
+    obs_mat = jax.random.normal(
+        k[1], (GHMM_HIDDEN, GHMM_OBS)
+    ) / GHMM_HIDDEN**0.5
+    obs = dist.Normal(jnp.zeros(GHMM_OBS), 0.5).to_event(1)
+    hmm = dist.GaussianHMM(
+        init, trans_mat, trans, obs_mat, obs, duration=GHMM_T
+    )
+    data = jax.random.normal(k[2], (GHMM_T, GHMM_OBS))
+    lp = jax.jit(hmm.log_prob)
+    lp(data).block_until_ready()  # compile
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = lp(data)
+    out.block_until_ready()
+    return n / (time.perf_counter() - t0)
+
+
+BENCHMARKS = {
+    "vae_elbo_steps_per_sec": (
+        measure_ours_vae, "_reference_pyro_body", "steps/s"
+    ),
+    "dmm_elbo_steps_per_sec": (
+        measure_ours_dmm, "_reference_dmm_body", "steps/s"
+    ),
+    "hmm_enum_steps_per_sec": (
+        measure_ours_hmm, "_reference_hmm_body", "steps/s"
+    ),
+    "nuts_ess_per_sec": (
+        measure_ours_nuts_ess, "_reference_nuts_body", "ess/s"
+    ),
+    "gaussianhmm_logprob_per_sec": (
+        measure_ours_ghmm, "_reference_ghmm_body", "calls/s"
+    ),
+}
+
+
 def main() -> None:
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            baseline = json.load(f)["vae_steps_per_sec"]
-    else:
-        baseline = measure_reference_pyro()
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"vae_steps_per_sec": baseline}, f)
+            cache = json.load(f)
+    # migrate the round-1 cache key
+    if "vae_steps_per_sec" in cache:
+        cache.setdefault(
+            "vae_elbo_steps_per_sec", cache.pop("vae_steps_per_sec")
+        )
 
-    ours = measure_ours()
+    submetrics = {}
+    ratios = []
+    for name, (ours_fn, ref_body, unit) in BENCHMARKS.items():
+        if name not in cache:
+            try:
+                cache[name] = _run_reference(ref_body)
+                with open(BASELINE_CACHE, "w") as f:
+                    json.dump(cache, f, indent=1)
+            except Exception as e:  # reference unavailable: absolute only
+                print(f"# reference {name} failed: {e}", file=sys.stderr)
+                cache[name] = None
+        baseline = cache[name]
+        try:
+            value = ours_fn()
+        except Exception as e:
+            print(f"# ours {name} failed: {e}", file=sys.stderr)
+            continue
+        entry = {"value": round(value, 2), "unit": unit}
+        if baseline:
+            entry["baseline"] = round(baseline, 4)
+            entry["vs_baseline"] = round(value / baseline, 2)
+            ratios.append(value / baseline)
+        submetrics[name] = entry
+
+    geomean = (
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        if ratios
+        else float("nan")
+    )
+    headline = submetrics.get("vae_elbo_steps_per_sec", {})
     print(
         json.dumps(
             {
                 "metric": "vae_elbo_steps_per_sec",
-                "value": round(ours, 2),
+                "value": headline.get("value"),
                 "unit": "steps/s",
-                "vs_baseline": round(ours / baseline, 2),
+                "vs_baseline": headline.get("vs_baseline"),
+                "suite_geomean_vs_baseline": round(geomean, 2),
+                "submetrics": submetrics,
             }
         )
     )

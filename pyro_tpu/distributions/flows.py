@@ -470,3 +470,16 @@ def householder(name: str, input_dim: int, count_transforms: int = 1) -> Househo
 
 def permute(permutation) -> Permute:
     return Permute(permutation)
+
+
+# reference-parity alias (ref ``batchnorm.py`` exports the class as
+# ``BatchNorm``)
+BatchNorm = BatchNormTransform
+
+
+def batchnorm(name: str, input_dim: int) -> BatchNormTransform:
+    """Create a BatchNorm flow whose (loc, log_scale) are param-store
+    sites (ref ``transforms/__init__.py`` ``batchnorm`` helper)."""
+    loc = pyro_param(f"{name}$$$loc", jnp.zeros(input_dim))
+    log_scale = pyro_param(f"{name}$$$log_scale", jnp.zeros(input_dim))
+    return BatchNormTransform(loc, log_scale)

@@ -845,3 +845,108 @@ __all__ = [
     "identity_transform",
     "transform_to",
 ]
+
+
+# -- full-catalog re-exports (lazy, PEP 562) -----------------------------------
+# The learnable flows live in .flows / .flows_extra, the conditional
+# machinery in .conditional, and the remaining fixed transforms in
+# .transforms_extra; they are surfaced here so that
+# ``pyro_tpu.distributions.transforms`` carries the reference's complete
+# 89-name catalog (ref ``pyro/distributions/transforms/__init__.py``).
+
+_LAZY_EXPORTS = {
+    # .flows
+    "AffineAutoregressive": "flows",
+    "AffineCoupling": "flows",
+    "BatchNorm": "flows",
+    "BatchNormTransform": "flows",
+    "Householder": "flows",
+    "Permute": "flows",
+    "Planar": "flows",
+    "Radial": "flows",
+    "Spline": "flows",
+    "affine_autoregressive": "flows",
+    "affine_coupling": "flows",
+    "batchnorm": "flows",
+    "householder": "flows",
+    "permute": "flows",
+    "planar": "flows",
+    "radial": "flows",
+    "spline": "flows",
+    # .conditional
+    "ComposeTransformModule": "conditional",
+    # .transforms_extra
+    "CatTransform": "transforms_extra",
+    "CorrLCholeskyTransform": "transforms_extra",
+    "CumulativeDistributionTransform": "transforms_extra",
+    "DiscreteCosineTransform": "transforms_extra",
+    "ELUTransform": "transforms_extra",
+    "HaarTransform": "transforms_extra",
+    "LeakyReLUTransform": "transforms_extra",
+    "LowerCholeskyAffine": "transforms_extra",
+    "Normalize": "transforms_extra",
+    "PositiveDefiniteTransform": "transforms_extra",
+    "PositivePowerTransform": "transforms_extra",
+    "ReshapeTransform": "transforms_extra",
+    "SimplexToOrderedTransform": "transforms_extra",
+    "StackTransform": "transforms_extra",
+    "elu": "transforms_extra",
+    "leaky_relu": "transforms_extra",
+    # .flows_extra
+    "BlockAutoregressive": "flows_extra",
+    "ConditionalAffineAutoregressive": "flows_extra",
+    "ConditionalAffineCoupling": "flows_extra",
+    "ConditionalGeneralizedChannelPermute": "flows_extra",
+    "ConditionalHouseholder": "flows_extra",
+    "ConditionalMatrixExponential": "flows_extra",
+    "ConditionalNeuralAutoregressive": "flows_extra",
+    "ConditionalPlanar": "flows_extra",
+    "ConditionalRadial": "flows_extra",
+    "ConditionalSpline": "flows_extra",
+    "ConditionalSplineAutoregressive": "flows_extra",
+    "ConditionedGeneralizedChannelPermute": "flows_extra",
+    "ConditionedMatrixExponential": "flows_extra",
+    "GeneralizedChannelPermute": "flows_extra",
+    "MatrixExponential": "flows_extra",
+    "NeuralAutoregressive": "flows_extra",
+    "Polynomial": "flows_extra",
+    "SplineAutoregressive": "flows_extra",
+    "SplineCoupling": "flows_extra",
+    "Sylvester": "flows_extra",
+    "block_autoregressive": "flows_extra",
+    "conditional_affine_autoregressive": "flows_extra",
+    "conditional_affine_coupling": "flows_extra",
+    "conditional_generalized_channel_permute": "flows_extra",
+    "conditional_householder": "flows_extra",
+    "conditional_matrix_exponential": "flows_extra",
+    "conditional_neural_autoregressive": "flows_extra",
+    "conditional_planar": "flows_extra",
+    "conditional_radial": "flows_extra",
+    "conditional_spline": "flows_extra",
+    "conditional_spline_autoregressive": "flows_extra",
+    "generalized_channel_permute": "flows_extra",
+    "iterated": "flows_extra",
+    "matrix_exponential": "flows_extra",
+    "neural_autoregressive": "flows_extra",
+    "polynomial": "flows_extra",
+    "spline_autoregressive": "flows_extra",
+    "spline_coupling": "flows_extra",
+    "sylvester": "flows_extra",
+}
+
+
+def __getattr__(name):
+    module = _LAZY_EXPORTS.get(name)
+    if module is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    import importlib
+
+    mod = importlib.import_module(f".{module}", __package__)
+    value = getattr(mod, name)
+    globals()[name] = value  # cache for subsequent lookups
+    return value
+
+
+__all__ = sorted(set(__all__) | set(_LAZY_EXPORTS))
