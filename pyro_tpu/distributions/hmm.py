@@ -37,25 +37,13 @@ from ..ops.gaussian import (
 
 def _logmatmulexp(x, y):
     """Numerically-stable batched log-space matmul: rides the MXU via a
-    regular matmul of shifted exponentials; 2-D MXU-sized tiles route to
-    the fused Pallas kernel (ops/pallas/log_einsum.py)."""
+    regular matmul of shifted exponentials.  MXU-sized tiles — batched or
+    2-D — route to the fused, gridded Pallas kernel
+    (ops/pallas/log_einsum.py); anything else takes the identical-math
+    XLA formulation."""
     from ..ops.pallas import logmatmulexp as _fused
 
-    if x.ndim == 2 and y.ndim == 2:
-        return _fused(x, y)
-    x_shift = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
-    y_shift = jax.lax.stop_gradient(jnp.max(y, axis=-2, keepdims=True))
-    x_shift = jnp.where(jnp.isfinite(x_shift), x_shift, 0.0)
-    y_shift = jnp.where(jnp.isfinite(y_shift), y_shift, 0.0)
-    xy = jnp.log(
-        jnp.clip(
-            jnp.einsum("...ik,...kj->...ij", jnp.exp(x - x_shift), jnp.exp(y - y_shift)),
-            jnp.finfo(x.dtype).tiny,
-        )
-    )
-    # x_shift: (..., n, 1) broadcasts over columns; y_shift: (..., 1, n)
-    # broadcasts over rows
-    return xy + x_shift + y_shift
+    return _fused(x, y)
 
 
 def _sequential_logmatmulexp(logits):
