@@ -240,8 +240,103 @@ def laplace_eig(
     )
 
 
-def donsker_varadhan_eig(*args, **kwargs):
-    raise NotImplementedError(
-        "donsker_varadhan_eig: planned for a later round (needs a trained "
-        "critic network); use nmc_eig or posterior_eig"
+def donsker_varadhan_eig(
+    model,
+    design,
+    observation_labels,
+    target_labels,
+    num_samples: int,
+    num_steps: int,
+    T,
+    optim=None,
+    return_history: bool = False,
+    final_design=None,
+    final_num_samples=None,
+    rng_key=None,
+):
+    """Donsker-Varadhan EIG bound (ref ``eig.py:376``):
+
+        sup_T  E_{p(y,theta|d)}[T] - log E_{p(y|d)p(theta)}[exp(T)]
+
+    ``T(design, trace, observation_labels, target_labels)`` is a critic
+    whose parameters are ``pyro.param``/flax-module sites; the whole
+    optimisation step (both expectations + grad + update) is one jitted
+    program.  The "independent" pairs are built by re-simulating theta
+    from the prior with y held fixed, exactly as the reference does.
+    Deviation: the reference stabilises log-gradients with an EWMA
+    (``EwmaLog``); here the plain logsumexp is used — under float32 XLA
+    this was not observed to diverge on the reference's test problems.
+    """
+    from ...infer.svi import ParamsMessenger, _MissingParam
+    from ...optim import Adam
+    from ...params.param_store import get_param_store
+
+    observation_labels = _as_list(observation_labels)
+    target_labels = _as_list(target_labels)
+    optim = optim or Adam({"lr": 0.01})
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    final_design = design if final_design is None else final_design
+    final_num_samples = final_num_samples or num_samples
+    store = get_param_store()
+
+    def _dv_bound(params, key, d, n):
+        keys = jax.random.split(key, n)
+
+        def one(k):
+            joint_tr = _trace_model(model, d, k)
+            y = {
+                name: joint_tr.nodes[name]["value"]
+                for name in observation_labels
+            }
+            indep_tr = poutine.trace(
+                poutine.seed(
+                    poutine.condition(model, data=y),
+                    rng_key=jax.random.fold_in(k, 1),
+                )
+            ).get_trace(d)
+            with ParamsMessenger(params, store):
+                t_joint = T(
+                    d, joint_tr, observation_labels, target_labels
+                )
+                t_indep = T(
+                    d, indep_tr, observation_labels, target_labels
+                )
+            return jnp.sum(t_joint), jnp.sum(t_indep)
+
+        t_joint, t_indep = jax.vmap(one)(keys)
+        joint_expectation = jnp.mean(t_joint)
+        indep_expectation = logsumexp(t_indep) - jnp.log(n)
+        return joint_expectation - indep_expectation
+
+    def loss_fn(params, key):
+        return -_dv_bound(params, key, design, num_samples)
+
+    # eager init of T's params
+    key0, key_train = jax.random.split(rng_key)
+    try:
+        loss_fn(store.get_all_unconstrained(), key0)
+    except (_MissingParam, KeyError):
+        k = jax.random.fold_in(key0, 2)
+        tr = _trace_model(model, design, k)
+        with poutine.block():
+            T(design, tr, observation_labels, target_labels)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    history = []
+    for _ in range(num_steps):
+        params = store.get_all_unconstrained()
+        key_train, sub = jax.random.split(key_train)
+        loss, grads = grad_fn(params, sub)
+        history.append(float(loss))
+        store.set_all_unconstrained(optim(params, grads))
+    params = store.get_all_unconstrained()
+    eig = _dv_bound(
+        params,
+        jax.random.fold_in(key_train, 9),
+        final_design,
+        final_num_samples,
     )
+    if return_history:
+        return eig, jnp.asarray(history)
+    return eig

@@ -82,27 +82,6 @@ class EKFState:
         )
 
 
-class NcvContinuous:
-    """Nearly-constant-velocity dynamic model (ref
-    ``dynamic_models.py:NcvContinuous``): state = [pos, vel]."""
-
-    def __init__(self, dimension: int, sv2: float):
-        assert dimension % 2 == 0
-        self.dimension = dimension
-        self.sv2 = sv2
-
-    def __call__(self, x, dt: float):
-        d = self.dimension // 2
-        pos, vel = x[..., :d], x[..., d:]
-        return jnp.concatenate([pos + dt * vel, vel], axis=-1)
-
-    def process_noise_cov(self, dt: float):
-        d = self.dimension // 2
-        q = self.sv2
-        Q = jnp.zeros((self.dimension, self.dimension))
-        eye = jnp.eye(d)
-        Q = Q.at[:d, :d].set(q * dt**3 / 3 * eye)
-        Q = Q.at[:d, d:].set(q * dt**2 / 2 * eye)
-        Q = Q.at[d:, :d].set(q * dt**2 / 2 * eye)
-        Q = Q.at[d:, d:].set(q * dt * eye)
-        return Q
+# NcvContinuous moved to .dynamic_models (full Ncp/Ncv family); re-exported
+# here for backward compatibility with round-1 imports.
+from .dynamic_models import NcvContinuous  # noqa: E402

@@ -36,6 +36,7 @@ from .traceenum_elbo import JitTraceEnum_ELBO, TraceEnum_ELBO
 from ..distributions.util import enable_validation, is_validation_enabled
 from .mcmc import HMC, MCMC, NUTS, RandomWalkKernel, StreamingMCMC
 from .predictive import MHResampler, Predictive, WeighedPredictive
+from .resampler import Resampler
 from .svi import SVI
 
 __all__ = [
@@ -65,6 +66,7 @@ __all__ = [
     "is_validation_enabled",
     "MCMC",
     "MHResampler",
+    "Resampler",
     "NUTS",
     "Predictive",
     "RandomWalkKernel",

@@ -30,15 +30,43 @@ class MCMC:
         warmup_steps: Optional[int] = None,
         initial_params: Optional[Dict] = None,
         num_chains: int = 1,
-        hook_fn=None,
-        mp_context=None,  # API parity; process parallelism replaced by vmap
-        disable_progbar: bool = False,
+        hook_fn: Optional[Callable] = None,
+        mp_context=None,  # accepted; meaningless without process pools
+        disable_progbar: bool = True,
         disable_validation: bool = True,
         transforms=None,
         save_params=None,
         chain_method: str = "vectorized",
         thinning: int = 1,
     ):
+        """Deviations from the reference's signature, all documented:
+
+        - ``hook_fn(kernel, params, stage, i)`` is called from inside the
+          compiled scan via ``jax.debug.callback``; under the vmapped
+          chain axis it fires once per chain per step with that chain's
+          (unbatched) params.
+        - ``mp_context`` is accepted for API parity and warned about:
+          chains are a vmapped axis, not OS processes.
+        - ``disable_progbar`` defaults to True (a per-draw host callback
+          through the device tunnel is expensive); set False to stream
+          coarse progress lines.
+        - ``chain_method``: "vectorized" (vmap, default), "sequential"
+          (Python loop — lower peak memory), or "parallel" (chain axis
+          sharded over available devices, as in
+          ``pyro_tpu.parallel.sharded_chain_mcmc``).
+        """
+        if chain_method not in ("vectorized", "sequential", "parallel"):
+            raise ValueError(
+                f"unknown chain_method={chain_method!r}; expected "
+                "'vectorized', 'sequential' or 'parallel'"
+            )
+        if mp_context is not None:
+            import logging
+
+            logging.getLogger("pyro_tpu").warning(
+                "MCMC(mp_context=...) has no effect: chains run as a "
+                "vmapped axis of one compiled program, not as processes"
+            )
         self.kernel = kernel
         self.num_samples = num_samples
         self.warmup_steps = (
@@ -47,6 +75,9 @@ class MCMC:
         self.num_chains = num_chains
         self.chain_method = chain_method
         self.thinning = thinning
+        self.hook_fn = hook_fn
+        self.disable_progbar = disable_progbar
+        self.save_params = tuple(save_params) if save_params else None
         self._initial_params = initial_params
         self._samples = None  # dict name -> (chains, samples, ...)
         self._diagnostics_extra = None
@@ -68,25 +99,76 @@ class MCMC:
 
         chain_keys = jax.random.split(key_chains, self.num_chains)
         # optional chain-axis sharding over a device mesh
-        # (set by pyro_tpu.parallel.sharded_chain_mcmc)
+        # (set by pyro_tpu.parallel.sharded_chain_mcmc, or
+        # chain_method="parallel")
         key_sharding = getattr(self, "_key_sharding", None)
+        if key_sharding is None and self.chain_method == "parallel":
+            devices = jax.devices()
+            if len(devices) > 1 and self.num_chains % len(devices) == 0:
+                from jax.sharding import (
+                    Mesh,
+                    NamedSharding,
+                    PartitionSpec,
+                )
+
+                mesh = Mesh(np.asarray(devices), ("chain",))
+                key_sharding = NamedSharding(mesh, PartitionSpec("chain"))
         if key_sharding is not None:
             chain_keys = jax.device_put(chain_keys, key_sharding)
+
+        hook_fn = self.hook_fn
+        progbar = not self.disable_progbar
+        kernel = self.kernel
+        report_every = max(1, (self.warmup_steps + self.num_samples) // 20)
+
+        def _host_report(stage, i, params):
+            if hook_fn is not None:
+                hook_fn(kernel, params, stage, int(i))
+            if progbar and int(i) % report_every == 0:
+                import logging
+
+                total = (
+                    self.warmup_steps
+                    if stage == "warmup"
+                    else self.num_samples
+                )
+                logging.getLogger("pyro_tpu").info(
+                    "MCMC %s %d/%d", stage, int(i), total
+                )
+
+        def _maybe_callback(stage, i, state):
+            """Stream hook_fn/progress from inside the compiled scan;
+            under vmap it fires once per chain per step."""
+            if hook_fn is None and not progbar:
+                return
+            params = (
+                self.kernel.postprocess_fn(self.kernel._unravel(state.z))
+                if hook_fn is not None
+                else {}
+            )
+            import functools
+
+            jax.debug.callback(
+                functools.partial(_host_report, stage), i, params
+            )
 
         def run_chain(key):
             key_draw, key_state = jax.random.split(key)
             init_flat = self.kernel._draw_init(key_draw)
             state = self.kernel.init_state(key_state, init_flat)
 
-            def warm_step(state, _):
-                return self.kernel.sample_step(state), None
+            def warm_step(state, i):
+                state = self.kernel.sample_step(state)
+                _maybe_callback("warmup", i, state)
+                return state, None
 
             state, _ = jax.lax.scan(
-                warm_step, state, None, length=self.warmup_steps
+                warm_step, state, jnp.arange(self.warmup_steps)
             )
 
-            def samp_step(state, _):
+            def samp_step(state, i):
                 state = self.kernel.sample_step(state)
+                _maybe_callback("sample", i, state)
                 out = {
                     "z": state.z,
                     "diverging": state.diverging,
@@ -98,12 +180,22 @@ class MCMC:
                 return state, out
 
             state, collected = jax.lax.scan(
-                samp_step, state, None, length=self.num_samples
+                samp_step, state, jnp.arange(self.num_samples)
             )
             return state, collected
 
-        run = jax.jit(jax.vmap(run_chain))
-        last_state, collected = run(chain_keys)
+        if self.chain_method == "sequential":
+            # one chain at a time: lower peak memory, same per-chain math
+            per_chain = [jax.jit(run_chain)(k) for k in chain_keys]
+            last_state = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[s for s, _ in per_chain]
+            )
+            collected = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[c for _, c in per_chain]
+            )
+        else:
+            run = jax.jit(jax.vmap(run_chain))
+            last_state, collected = run(chain_keys)
         self._last_state = last_state
 
         # thinning
@@ -121,6 +213,7 @@ class MCMC:
         self._samples = {
             name: v.reshape((self.num_chains, -1) + v.shape[1:])
             for name, v in constrained.items()
+            if self.save_params is None or name in self.save_params
         }
         self._diagnostics_extra = {
             k: collected[k][:, :: self.thinning]

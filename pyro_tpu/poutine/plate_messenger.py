@@ -166,8 +166,22 @@ class PlateMessenger(Messenger):
                     "Subsample outside jit or use a vectorized plate."
                 )
             indices = np.asarray(jax.device_get(indices))
-        for i in indices:
-            yield int(i)
+        # Each iteration runs with the subsample scale active, mirroring
+        # the reference's per-index ``with self:`` re-entry
+        # (ref ``indep_messenger.py:110-130``, ``subsample_messenger.py:174``).
+        # Deviation: no per-iteration CondIndepStackFrame is pushed (the
+        # sequential frames carry no tensor dim; only the scale matters
+        # for loss correctness).
+        scale = self.size / self.subsample_size
+        if scale != 1.0:
+            from .handlers import ScaleMessenger
+
+            for i in indices:
+                with ScaleMessenger(scale):
+                    yield int(i)
+        else:
+            for i in indices:
+                yield int(i)
 
     def __len__(self):
         return self.subsample_size

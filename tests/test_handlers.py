@@ -232,3 +232,24 @@ def test_obs_mask():
     val = tr.nodes["x"]["value"]
     assert np.allclose(val[0], 1.0)
     assert np.allclose(val[2], 3.0)
+
+
+def test_sequential_plate_subsampling_scales():
+    """Sequential plate with subsample_size yields that many indices and
+    scales in-loop log-probs by size/subsample_size
+    (ref ``subsample_messenger.py:74`` + ``indep_messenger.py:110``)."""
+    data = jnp.arange(10.0)
+
+    def model():
+        for i in pyro.plate("data", 10, subsample_size=4):
+            pyro.sample(f"x_{i}", dist.Normal(0.0, 1.0), obs=data[i])
+
+    tr = poutine.trace(
+        poutine.seed(model, rng_key=jax.random.key(0))
+    ).get_trace()
+    tr.compute_log_prob()
+    sites = [n for n in tr.nodes if n.startswith("x_")]
+    assert len(sites) == 4
+    site = tr.nodes[sites[0]]
+    ratio = float(site["log_prob"] / site["unscaled_log_prob"])
+    assert abs(ratio - 2.5) < 1e-6

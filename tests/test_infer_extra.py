@@ -156,3 +156,28 @@ def test_svgd_matches_gaussian_target():
     particles = svgd.get_named_particles()["x"]
     assert abs(float(particles.mean()) - 2.0) < 0.3
     assert abs(float(particles.std()) - 1.5) < 0.4
+
+
+def test_resampler_recovers_model_posterior():
+    """Importance resampling of diffuse-guide draws matches a narrower
+    model prior (ref ``resampler.py:14``)."""
+    from pyro_tpu.infer import Resampler
+
+    def guide():
+        pyro.sample("loc", dist.Normal(0.0, 4.0))
+
+    def simulator():
+        loc = pyro.sample("loc", dist.Normal(0.0, 4.0))
+        pyro.sample("x", dist.Normal(loc, 1.0))
+
+    def model():
+        pyro.sample("loc", dist.Normal(1.0, 0.5))
+
+    rs = Resampler(guide, simulator, num_guide_samples=10000)
+    out = rs.sample(model, 2000)
+    locs = np.asarray(out["loc"])
+    assert abs(locs.mean() - 1.0) < 0.15
+    assert abs(locs.std() - 0.5) < 0.15
+    assert np.asarray(out["x"]).shape == (2000,)
+    out2 = rs.sample(model, 2000, stable=False)
+    assert abs(np.asarray(out2["loc"]).mean() - 1.0) < 0.15

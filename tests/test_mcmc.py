@@ -148,3 +148,55 @@ def test_streaming_mcmc():
     stats = smc.get_statistics()
     assert np.abs(np.asarray(stats["unconstrained_mean"]).mean() - 2.0) < 0.25
     assert np.abs(np.asarray(stats["unconstrained_variance"]).mean() - 1.0) < 0.4
+
+
+def test_mcmc_hook_fn_save_params_chain_methods():
+    """hook_fn streams per chain per step; save_params filters sites;
+    sequential/parallel chain methods run; bogus method raises
+    (ref ``api.py:405`` kwargs)."""
+
+    def model():
+        loc = pyro.sample("loc", dist.Normal(0.0, 1.0))
+        scale = pyro.sample("scale", dist.LogNormal(0.0, 1.0))
+        pyro.sample("obs", dist.Normal(loc, scale), obs=jnp.array(0.5))
+
+    calls = []
+
+    def hook(kernel, params, stage, i):
+        calls.append((stage, int(i)))
+
+    m = MCMC(
+        NUTS(model, max_tree_depth=4),
+        num_samples=5,
+        warmup_steps=5,
+        num_chains=2,
+        hook_fn=hook,
+        save_params=["loc"],
+    )
+    m.run(rng_key=jax.random.key(0))
+    assert set(m.get_samples()) == {"loc"}
+    assert {c[0] for c in calls} == {"warmup", "sample"}
+    assert len(calls) == 20  # (5+5) steps x 2 chains
+
+    m2 = MCMC(
+        NUTS(model, max_tree_depth=4),
+        num_samples=5,
+        warmup_steps=5,
+        num_chains=2,
+        chain_method="sequential",
+    )
+    m2.run(rng_key=jax.random.key(0))
+    assert m2.get_samples()["loc"].shape[0] == 10
+
+    with pytest.raises(ValueError, match="chain_method"):
+        MCMC(NUTS(model), 10, chain_method="bogus")
+
+    m3 = MCMC(
+        NUTS(model, max_tree_depth=4),
+        num_samples=5,
+        warmup_steps=5,
+        num_chains=8,
+        chain_method="parallel",
+    )
+    m3.run(rng_key=jax.random.key(1))
+    assert m3.get_samples()["loc"].shape[0] == 40

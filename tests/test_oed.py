@@ -81,3 +81,40 @@ def test_posterior_eig_trains_guide():
     # -0.5 log(2 pi e sigma_post^2) with sigma_post^2 = 0.5
     expected = -0.5 * np.log(2 * np.pi * np.e * 0.5)
     assert abs(bound - expected) < 0.15, (bound, expected)
+
+
+def test_donsker_varadhan_eig_linear_gaussian():
+    """DV bound approaches the analytic EIG 0.5*log(1+d^2) on the
+    linear-Gaussian design problem (ref ``eig.py:376``)."""
+    from pyro_tpu.contrib.oed.eig import donsker_varadhan_eig
+    from pyro_tpu.optim import Adam
+
+    def model(design):
+        theta = pyro.sample("theta", dist.Normal(0.0, 1.0))
+        pyro.sample("y", dist.Normal(design * theta, 1.0))
+
+    def T(design, trace, obs_labels, target_labels):
+        y = trace.nodes["y"]["value"]
+        th = trace.nodes["theta"]["value"]
+        w = pyro.param("T$$$w", jnp.zeros(5))
+        b = pyro.param("T$$$b", jnp.zeros(()))
+        feats = jnp.stack([y, th, y * y, th * th, y * th])
+        return b + jnp.dot(w, feats)
+
+    pyro.clear_param_store()
+    eig, hist = donsker_varadhan_eig(
+        model,
+        1.0,
+        "y",
+        "theta",
+        num_samples=512,
+        num_steps=500,
+        T=T,
+        optim=Adam({"lr": 0.02}),
+        final_num_samples=4096,
+        return_history=True,
+        rng_key=jax.random.key(0),
+    )
+    true_eig = 0.5 * np.log(2.0)
+    assert abs(float(eig) - true_eig) < 0.08, (float(eig), true_eig)
+    assert hist.shape == (500,)

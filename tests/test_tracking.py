@@ -55,3 +55,72 @@ def test_lsh_and_merge_points():
         lsh.add(p, i)
     near = lsh.nearby(np.array([0.01, 0.01]))
     assert 0 in near and 1 in near and 2 not in near
+
+
+def test_dynamic_model_family():
+    from pyro_tpu.contrib.tracking.dynamic_models import (
+        NcpContinuous,
+        NcpDiscrete,
+        NcvContinuous,
+        NcvDiscrete,
+    )
+
+    x = jnp.array([1.0, 2.0, 0.5, -0.5])
+    for cls, kw in [
+        (NcpContinuous, dict(dimension=4, sv2=0.1)),
+        (NcpDiscrete, dict(dimension=4, sv2=0.1)),
+        (NcvContinuous, dict(dimension=4, sa2=0.1)),
+        (NcvDiscrete, dict(dimension=4, sa2=0.1)),
+    ]:
+        dm = cls(**kw)
+        out = dm(x, 2.0)
+        assert out.shape == x.shape
+        Q = dm.process_noise_cov(2.0)
+        assert Q.shape == (4, 4)
+        evals = np.linalg.eigvalsh(np.asarray(Q))
+        assert (evals > -1e-6).all(), (cls.__name__, evals)
+        pv = dm.mean2pv(x if "Ncv" in cls.__name__ else x)
+        assert dm.cov2pv(jnp.eye(dm.dimension)).shape == (
+            dm.dimension_pv,
+            dm.dimension_pv,
+        )
+        assert dm.process_noise_dist(1.0).event_shape == (4,)
+    # NCV integrates position by velocity
+    ncv = NcvContinuous(dimension=4, sa2=0.1)
+    out = ncv(x, 2.0)
+    np.testing.assert_allclose(np.asarray(out[:2]), [2.0, 1.0])
+    # jacobian matches autodiff
+    np.testing.assert_allclose(
+        np.asarray(ncv.jacobian(2.0)),
+        np.asarray(jax.jacfwd(lambda v: ncv(v, 2.0))(x)),
+    )
+
+
+def test_ekf_distribution_log_prob():
+    from pyro_tpu.contrib.tracking import EKFDistribution, NcvContinuous
+
+    dm = NcvContinuous(dimension=4, sa2=0.01)
+    T = 10
+    d = EKFDistribution(
+        x0=jnp.zeros(4),
+        P0=jnp.eye(4),
+        dynamic_model=dm,
+        measurement_cov=0.1 * jnp.eye(2),
+        time_steps=T,
+        dt=1.0,
+    )
+    rng = np.random.RandomState(1)
+    vel = np.array([1.0, -0.5])
+    zs = jnp.asarray(
+        np.arange(T)[:, None] * vel + 0.05 * rng.randn(T, 2)
+    )
+    lp_track = float(jax.jit(d.log_prob)(zs))
+    zs_noise = jnp.asarray(5.0 * rng.randn(T, 2))
+    lp_noise = float(jax.jit(d.log_prob)(zs_noise))
+    assert np.isfinite(lp_track) and np.isfinite(lp_noise)
+    # a coherent constant-velocity track is far more likely
+    assert lp_track > lp_noise + 10.0
+    states = d.filter_states(zs)
+    assert len(states) == T
+    est = np.asarray(states[-1].mean)
+    assert np.allclose(est[2:], vel, atol=0.3)
