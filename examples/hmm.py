@@ -1,6 +1,6 @@
 """Discrete-HMM model zoo trained with TraceEnum_ELBO.
 
-Ref ``/root/reference/examples/hmm.py`` (models 0-3; arXiv:1902.03210 for
+Ref ``/root/reference/examples/hmm.py`` (models 0-7; arXiv:1902.03210 for
 the tensor-variable-elimination machinery).  Data is synthetic polyphonic
 sequences by default (the environment has no dataset egress); shapes match
 the JSB chorales layout (sequences x time x 88 notes, truncated).
@@ -138,7 +138,303 @@ def model_2(sequences, lengths, args, include_prior=True):
                     )
 
 
-MODELS = {0: model_0, 1: model_1, 2: model_2}
+
+
+# -- models 3-7 (ref ``examples/hmm.py:316-612``) -----------------------------
+
+try:
+    import flax.linen as fnn
+except ImportError:  # pragma: no cover
+    fnn = None
+
+
+def model_3(sequences, lengths, args, include_prior=True):
+    """Factorial HMM: two independent hidden chains w, x
+    (ref ``examples/hmm.py:model_3``)."""
+    num_sequences, max_length, data_dim = sequences.shape
+    hidden = int(args.hidden_dim**0.5)
+    with poutine.mask(mask=include_prior):
+        probs_w = pyro.sample(
+            "probs_w",
+            dist.Dirichlet(0.9 * jnp.eye(hidden) + 0.1).to_event(1),
+        )
+        probs_x = pyro.sample(
+            "probs_x",
+            dist.Dirichlet(0.9 * jnp.eye(hidden) + 0.1).to_event(1),
+        )
+        probs_y = pyro.sample(
+            "probs_y",
+            dist.Beta(0.1, 0.9)
+            .expand((hidden, hidden, data_dim))
+            .to_event(3),
+        )
+    tones_plate = pyro.plate("tones", data_dim, dim=-1)
+    with pyro.plate("sequences", num_sequences, dim=-2):
+        w = jnp.zeros((), jnp.int32)
+        x = jnp.zeros((), jnp.int32)
+        for t in pyro.markov(range(max_length)):
+            mask_t = (t < lengths)[:, None]
+            with poutine.mask(mask=mask_t):
+                w = pyro.sample(
+                    f"w_{t}",
+                    dist.Categorical(probs=Vindex(probs_w)[..., w, :]),
+                    infer={"enumerate": "parallel"},
+                )
+                x = pyro.sample(
+                    f"x_{t}",
+                    dist.Categorical(probs=Vindex(probs_x)[..., x, :]),
+                    infer={"enumerate": "parallel"},
+                )
+                with tones_plate:
+                    pyro.sample(
+                        f"y_{t}",
+                        dist.Bernoulli(
+                            probs=Vindex(probs_y)[
+                                ..., w.squeeze(-1), x.squeeze(-1), :
+                            ]
+                        ),
+                        obs=sequences[:, t],
+                    )
+
+
+def model_4(sequences, lengths, args, include_prior=True):
+    """Dynamic Bayesian network: x depends on both w and previous x
+    (ref ``examples/hmm.py:model_4``)."""
+    num_sequences, max_length, data_dim = sequences.shape
+    hidden = int(args.hidden_dim**0.5)
+    with poutine.mask(mask=include_prior):
+        probs_w = pyro.sample(
+            "probs_w",
+            dist.Dirichlet(0.9 * jnp.eye(hidden) + 0.1).to_event(1),
+        )
+        probs_x = pyro.sample(
+            "probs_x",
+            dist.Dirichlet(0.9 * jnp.eye(hidden) + 0.1)
+            .expand((hidden, hidden))
+            .to_event(2),
+        )
+        probs_y = pyro.sample(
+            "probs_y",
+            dist.Beta(0.1, 0.9)
+            .expand((hidden, hidden, data_dim))
+            .to_event(3),
+        )
+    tones_plate = pyro.plate("tones", data_dim, dim=-1)
+    with pyro.plate("sequences", num_sequences, dim=-2):
+        w = jnp.zeros((), jnp.int32)
+        x = jnp.zeros((), jnp.int32)
+        for t in pyro.markov(range(max_length)):
+            mask_t = (t < lengths)[:, None]
+            with poutine.mask(mask=mask_t):
+                w = pyro.sample(
+                    f"w_{t}",
+                    dist.Categorical(probs=Vindex(probs_w)[..., w, :]),
+                    infer={"enumerate": "parallel"},
+                )
+                x = pyro.sample(
+                    f"x_{t}",
+                    dist.Categorical(
+                        probs=Vindex(probs_x)[..., w, x, :]
+                    ),
+                    infer={"enumerate": "parallel"},
+                )
+                with tones_plate:
+                    pyro.sample(
+                        f"y_{t}",
+                        dist.Bernoulli(
+                            probs=Vindex(probs_y)[
+                                ..., w.squeeze(-1), x.squeeze(-1), :
+                            ]
+                        ),
+                        obs=sequences[:, t],
+                    )
+
+
+if fnn is not None:
+
+    class TonesGenerator(fnn.Module):
+        """Neural emitter for models 5 and 7
+        (ref ``examples/hmm.py:TonesGenerator``)."""
+
+        hidden_dim: int
+        nn_dim: int
+        nn_channels: int
+        data_dim: int
+
+        @fnn.compact
+        def __call__(self, x, y):
+            # x: int (..., 1) possibly enumerated; y: (..., data_dim)
+            x_onehot = jax.nn.one_hot(x[..., 0], self.hidden_dim)
+            y_conv = fnn.relu(
+                fnn.Conv(self.nn_channels, (3,), padding="SAME")(
+                    y[..., None]
+                )
+            ).reshape(y.shape[:-1] + (-1,))
+            h = fnn.relu(
+                fnn.Dense(self.nn_dim)(x_onehot)
+                + fnn.Dense(self.nn_dim)(y_conv)
+            )
+            return fnn.Dense(self.data_dim)(h)
+
+
+def _tones_generator(args, data_dim):
+    from pyro_tpu.nn import flax_module
+
+    return flax_module(
+        "tones_generator",
+        TonesGenerator(
+            hidden_dim=args.hidden_dim,
+            nn_dim=args.nn_dim,
+            nn_channels=args.nn_channels,
+            data_dim=data_dim,
+        ),
+        jnp.zeros((1, 1), jnp.int32),
+        jnp.zeros((1, data_dim)),
+    )
+
+
+def model_5(sequences, lengths, args, include_prior=True):
+    """Neural HMM: hidden chain with autoregressive neural emissions
+    (ref ``examples/hmm.py:model_5``)."""
+    num_sequences, max_length, data_dim = sequences.shape
+    tones_generator = _tones_generator(args, data_dim)
+    with poutine.mask(mask=include_prior):
+        probs_x = pyro.sample(
+            "probs_x",
+            dist.Dirichlet(
+                0.9 * jnp.eye(args.hidden_dim) + 0.1
+            ).to_event(1),
+        )
+    with pyro.plate("sequences", num_sequences, dim=-2):
+        x = jnp.zeros((), jnp.int32)
+        y = jnp.zeros((num_sequences, data_dim))
+        for t in pyro.markov(range(max_length)):
+            mask_t = (t < lengths)[:, None]
+            with poutine.mask(mask=mask_t):
+                x = pyro.sample(
+                    f"x_{t}",
+                    dist.Categorical(probs=Vindex(probs_x)[..., x, :]),
+                    infer={"enumerate": "parallel"},
+                )
+                # each tone depends on all tones at the previous step, so
+                # each step gets its own tones plate (ref model_5)
+                with pyro.plate(f"tones_{t}", data_dim, dim=-1):
+                    y = pyro.sample(
+                        f"y_{t}",
+                        dist.Bernoulli(
+                            logits=tones_generator(x, y)
+                        ),
+                        obs=sequences[:, t],
+                    )
+
+
+def model_6(sequences, lengths, args, include_prior=False):
+    """Second-order HMM (2-markov), probability tables as pyro.param;
+    optional Raftery mixture parameterization
+    (ref ``examples/hmm.py:model_6``)."""
+    num_sequences, max_length, data_dim = sequences.shape
+    hidden_dim = args.hidden_dim
+    key = jax.random.key(0)
+    if not getattr(args, "raftery_parameterization", False):
+        probs_x = pyro.param(
+            "probs_x",
+            jax.random.uniform(
+                key, (hidden_dim, hidden_dim, hidden_dim)
+            ),
+            constraint=dist.constraints.simplex,
+        )
+    else:
+        probs_x1 = pyro.param(
+            "probs_x1",
+            jax.random.uniform(key, (hidden_dim, hidden_dim)),
+            constraint=dist.constraints.simplex,
+        )
+        probs_x2 = pyro.param(
+            "probs_x2",
+            jax.random.uniform(
+                jax.random.fold_in(key, 1), (hidden_dim, hidden_dim)
+            ),
+            constraint=dist.constraints.simplex,
+        )
+        mix_lambda = pyro.param(
+            "mix_lambda",
+            jnp.asarray(0.5),
+            constraint=dist.constraints.unit_interval,
+        )
+        probs_x = (
+            mix_lambda * probs_x1
+            + (1.0 - mix_lambda) * probs_x2[:, None, :]
+        )
+    probs_y = pyro.param(
+        "probs_y",
+        jax.random.uniform(
+            jax.random.fold_in(key, 2), (hidden_dim, data_dim)
+        ),
+        constraint=dist.constraints.unit_interval,
+    )
+    tones_plate = pyro.plate("tones", data_dim, dim=-1)
+    with pyro.plate("sequences", num_sequences, dim=-2):
+        x_curr = jnp.zeros((), jnp.int32)
+        x_prev = jnp.zeros((), jnp.int32)
+        for t in pyro.markov(range(max_length), history=2):
+            mask_t = (t < lengths)[:, None]
+            with poutine.mask(mask=mask_t):
+                probs_x_t = Vindex(probs_x)[..., x_prev, x_curr, :]
+                x_prev, x_curr = x_curr, pyro.sample(
+                    f"x_{t}",
+                    dist.Categorical(probs=probs_x_t),
+                    infer={"enumerate": "parallel"},
+                )
+                with tones_plate:
+                    pyro.sample(
+                        f"y_{t}",
+                        dist.Bernoulli(
+                            probs=Vindex(probs_y)[
+                                ..., x_curr.squeeze(-1), :
+                            ]
+                        ),
+                        obs=sequences[:, t],
+                    )
+
+
+def model_7(sequences, lengths, args, include_prior=True):
+    """model_5 fused into a single DiscreteHMM sample statement — the
+    exact-marginalization fast path (ref ``examples/hmm.py:model_7``)."""
+    num_sequences, max_length, data_dim = sequences.shape
+    tones_generator = _tones_generator(args, data_dim)
+    with poutine.mask(mask=include_prior):
+        probs_x = pyro.sample(
+            "probs_x",
+            dist.Dirichlet(
+                0.9 * jnp.eye(args.hidden_dim) + 0.1
+            ).to_event(1),
+        )
+    with pyro.plate("sequences", num_sequences, dim=-1):
+        y = sequences  # (seq, T, D)
+        x = jnp.arange(args.hidden_dim)[:, None]  # (H, 1)
+        init_logits = jnp.full((args.hidden_dim,), -jnp.inf).at[0].set(0.0)
+        trans_logits = jnp.log(probs_x)
+        # logits: (seq, T, H, D) — generator applied to every state at
+        # every step in one batched call
+        logits = tones_generator(x, y[..., None, :])
+        obs_dist = dist.Bernoulli(logits=logits).to_event(1)
+        t_arr = jnp.arange(max_length)
+        obs_dist = obs_dist.mask((t_arr < lengths[:, None])[..., None])
+        hmm_dist = dist.DiscreteHMM(init_logits, trans_logits, obs_dist)
+        pyro.sample("y", hmm_dist, obs=y)
+
+
+MODELS = {
+    0: model_0,
+    1: model_1,
+    2: model_2,
+    3: model_3,
+    4: model_4,
+    5: model_5,
+    6: model_6,
+    7: model_7,
+}
+
 
 
 def synthetic_sequences(key, num_sequences, max_length, data_dim, hidden_dim=4):
@@ -181,7 +477,10 @@ def main(args):
     from pyro_tpu.infer.autoguide import AutoDelta
 
     guide = AutoDelta(
-        poutine.block(model, expose=["probs_x", "probs_y"])
+        poutine.block(
+            model,
+            expose_fn=lambda msg: msg["name"].startswith("probs_"),
+        )
     )
     elbo = TraceEnum_ELBO(max_plate_nesting=2)
     svi = SVI(model, guide, Adam({"lr": args.learning_rate}), elbo)
@@ -207,5 +506,8 @@ if __name__ == "__main__":
     p.add_argument("--data-dim", type=int, default=16)
     p.add_argument("--num-steps", type=int, default=20)
     p.add_argument("--learning-rate", type=float, default=0.05)
+    p.add_argument("--nn-dim", type=int, default=32)
+    p.add_argument("--nn-channels", type=int, default=2)
+    p.add_argument("--raftery-parameterization", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     main(p.parse_args())
