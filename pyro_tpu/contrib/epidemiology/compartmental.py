@@ -83,6 +83,26 @@ class CompartmentalModel:
                     pyro.deterministic(f"{name}_{t}", state[name])
         return params
 
+    def generate(self, fixed=None, rng_key=None) -> Dict:
+        """Generate data from the prior, conditioned on ``fixed``
+        top-level parameters (ref ``compartmental.py:361``): observed
+        sites are unconditioned so the model samples fresh data."""
+        fixed = {
+            k: jnp.asarray(v) for k, v in (fixed or {}).items()
+        }
+        model = poutine.condition(
+            poutine.uncondition(lambda: self._model(forecast=0)),
+            data=fixed,
+        )
+        if rng_key is not None:
+            model = poutine.seed(model, rng_key=rng_key)
+        trace = poutine.trace(model).get_trace()
+        return {
+            name: site["value"]
+            for name, site in trace.nodes.items()
+            if site["type"] == "sample"
+        }
+
     def fit_svi(
         self,
         *,

@@ -280,3 +280,79 @@ class Coregionalize(Kernel):
         Zc = Xc if Z is None else self._slice_input(Z) @ components
         Zd = X if Z is None else self._slice_input(Z)
         return Xc @ Zc.T + (X * diagonal) @ Zd.T
+
+
+class Transforming(Kernel):
+    """Base for kernels derived from another kernel by a transform
+    (ref ``kernels/kernel.py:131``)."""
+
+    def __init__(self, kern: Kernel):
+        super().__init__(kern.input_dim, kern.active_dims)
+        self.kern = kern
+
+
+class Exponent(Transforming):
+    """k_new(x, z) = exp(k(x, z))  (ref ``kernels/kernel.py:145``)."""
+
+    def forward(self, X, Z=None, diag=False):
+        return jnp.exp(self.kern(X, Z, diag=diag))
+
+
+class VerticalScaling(Transforming):
+    """k_new(x, z) = f(x) k(x, z) f(z)  (ref ``kernels/kernel.py:156``)."""
+
+    def __init__(self, kern: Kernel, vscaling_fn):
+        super().__init__(kern)
+        self.vscaling_fn = vscaling_fn
+
+    def forward(self, X, Z=None, diag=False):
+        if diag:
+            f = self.vscaling_fn(X)
+            return f * self.kern(X, Z, diag=diag) * f
+        fX = self.vscaling_fn(X)[:, None]
+        fZ = fX.T if Z is None else self.vscaling_fn(Z)[None, :]
+        return fX * self.kern(X, Z, diag=diag) * fZ
+
+
+def _horner_evaluate(x, coef):
+    """Polynomial evaluation by Horner's method (ref ``kernel.py:187``)."""
+    b = coef[-1]
+    for c in reversed(coef[:-1]):
+        b = c + b * x
+    return b
+
+
+class Warping(Transforming):
+    """Deep kernel learning: k_new(x, z) = q(k(f(x), f(z))) with an input
+    warping function f (e.g. a neural feature extractor) and an optional
+    non-negative output polynomial q (ref ``kernels/kernel.py:199``;
+    Wilson et al., "Deep Kernel Learning")."""
+
+    def __init__(self, kern: Kernel, iwarping_fn=None, owarping_coef=None):
+        super().__init__(kern)
+        self.iwarping_fn = iwarping_fn
+        if owarping_coef is not None:
+            if any(
+                not isinstance(c, int) and c < 0 for c in owarping_coef
+            ):
+                raise ValueError(
+                    "Coefficients of the polynomial must be non-negative."
+                )
+            if len(owarping_coef) < 2 and sum(owarping_coef) == 0:
+                raise ValueError(
+                    "The output warping polynomial should have degree >= 1."
+                )
+        self.owarping_coef = owarping_coef
+
+    def forward(self, X, Z=None, diag=False):
+        if self.iwarping_fn is None:
+            K = self.kern(X, Z, diag=diag)
+        elif Z is None:
+            K = self.kern(self.iwarping_fn(X), None, diag=diag)
+        else:
+            K = self.kern(
+                self.iwarping_fn(X), self.iwarping_fn(Z), diag=diag
+            )
+        if self.owarping_coef is None:
+            return K
+        return _horner_evaluate(K, self.owarping_coef)

@@ -108,11 +108,26 @@ class EmpiricalMarginal(Empirical):
     TracePosterior (ref ``abstract_infer.py:17``)."""
 
     def __init__(self, trace_posterior, sites=None):
-        assert isinstance(trace_posterior, TracePosterior)
         if sites is None:
             sites = "_RETURN"
         if isinstance(sites, str):
             sites = [sites]
+        # vectorized posteriors (e.g. infer.Importance) carry stacked
+        # sample arrays instead of per-trace objects — use them directly.
+        if hasattr(trace_posterior, "get_samples") and not isinstance(
+            trace_posterior, TracePosterior
+        ):
+            stacked = trace_posterior.get_samples()
+            samples = jnp.concatenate(
+                [jnp.asarray(stacked[s]) for s in sites], 0
+            )
+            lw = jnp.asarray(
+                trace_posterior.log_weights, jnp.result_type(float)
+            )
+            weights = jnp.concatenate([lw for _ in sites], 0)
+            super().__init__(samples, weights)
+            return
+        assert isinstance(trace_posterior, TracePosterior)
         samples = []
         weights = []
         for tr, lw in zip(

@@ -61,6 +61,10 @@ class Importance:
                 for name, site in tr_p.nodes.items()
                 if site["type"] == "sample" and not site["is_observed"]
             }
+            if "_RETURN" in tr.nodes:
+                ret = tr.nodes["_RETURN"]["value"]
+                if ret is not None:
+                    latents["_RETURN"] = ret
             return latents, model_lp - guide_lp
 
         samples, log_w = jax.jit(jax.vmap(draw))(keys)

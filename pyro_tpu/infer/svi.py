@@ -45,6 +45,32 @@ class ParamsMessenger(Messenger):
         msg["done"] = True
 
 
+def _partition_args(args, kwargs):
+    """Split (args, kwargs) into dynamic (traced) leaves and a hashable
+    static part.  Python ints/bools/strings are treated as STATIC jit
+    arguments: models routinely use them in shape positions (e.g. a
+    mixture size ``k`` in ``jnp.ones(k)``), which would fail under
+    tracing.  Arrays, numpy scalars and floats stay dynamic.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+    static_mask = tuple(
+        isinstance(leaf, (bool, int, str))
+        and not isinstance(leaf, jax.Array)
+        for leaf in leaves
+    )
+    dyn = [l for l, s in zip(leaves, static_mask) if not s]
+    static = tuple(l for l, s in zip(leaves, static_mask) if s)
+    return dyn, (treedef, static_mask, static)
+
+
+def _merge_args(dyn, hstatic):
+    treedef, static_mask, static = hstatic
+    it_d, it_s = iter(dyn), iter(static)
+    leaves = [next(it_s) if s else next(it_d) for s in static_mask]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+
 class SVI:
     """Ref ``svi.py:16``."""
 
@@ -115,21 +141,22 @@ class SVI:
             self.optim,
         )
 
-        def loss_fn(unconstrained, rng_key, args, kwargs):
+        def loss_fn(unconstrained, rng_key, dyn, hstatic):
+            args, kwargs = _merge_args(dyn, hstatic)
             with ParamsMessenger(unconstrained, store):
                 return elbo.differentiable_loss(
                     model, guide, *args, rng_key=rng_key, **kwargs
                 )
 
-        def update(params, opt_state, rng_key, args, kwargs):
+        def update(params, opt_state, rng_key, dyn, hstatic):
             loss_val, grads = jax.value_and_grad(loss_fn)(
-                params, rng_key, args, kwargs
+                params, rng_key, dyn, hstatic
             )
             new_params, new_opt_state = optim.update(grads, opt_state, params)
             return loss_val, new_params, new_opt_state
 
-        self._update_fn = jax.jit(update)
-        self._loss_fn = jax.jit(loss_fn)
+        self._update_fn = jax.jit(update, static_argnums=(4,))
+        self._loss_fn = jax.jit(loss_fn, static_argnums=(3,))
         self._scan_fn = None  # invalidate run_steps cache (closes over update)
 
     # -- public API ---------------------------------------------------------------
@@ -145,16 +172,17 @@ class SVI:
             # params appeared/disappeared since compile: re-init lazily
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
+        dyn, hstatic = _partition_args(args, kwargs)
         try:
             loss_val, new_params, self._opt_state = self._update_fn(
-                params, self._opt_state, key, args, kwargs
+                params, self._opt_state, key, dyn, hstatic
             )
         except _MissingParam:
             # a param site materialized only under this step's control flow
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
             loss_val, new_params, self._opt_state = self._update_fn(
-                params, self._opt_state, key, args, kwargs
+                params, self._opt_state, key, dyn, hstatic
             )
         store.set_all_unconstrained(new_params)
         return float(jax.device_get(loss_val))
@@ -183,12 +211,12 @@ class SVI:
         # through the device tunnel.
         if getattr(self, "_scan_fn", None) is None:
 
-            @jax.jit
-            def scan_fn(params, opt_state, keys, args, kwargs):
+            @functools.partial(jax.jit, static_argnums=(4,))
+            def scan_fn(params, opt_state, keys, dyn, hstatic):
                 def body(carry, k):
                     params, opt_state = carry
                     loss, params, opt_state = update(
-                        params, opt_state, k, args, kwargs
+                        params, opt_state, k, dyn, hstatic
                     )
                     return (params, opt_state), loss
 
@@ -200,15 +228,16 @@ class SVI:
             self._scan_fn = scan_fn
 
         keys = jax.random.split(key, num_steps)
+        dyn, hstatic = _partition_args(args, kwargs)
         try:
             new_params, self._opt_state, losses = self._scan_fn(
-                params, self._opt_state, keys, args, kwargs
+                params, self._opt_state, keys, dyn, hstatic
             )
         except _MissingParam:
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
             new_params, self._opt_state, losses = self._scan_fn(
-                params, self._opt_state, keys, args, kwargs
+                params, self._opt_state, keys, dyn, hstatic
             )
         store.set_all_unconstrained(new_params)
         return jax.device_get(losses)
@@ -220,12 +249,13 @@ class SVI:
         if not self._initialized:
             self._init(key, args, kwargs)
         params = store.get_all_unconstrained()
+        dyn, hstatic = _partition_args(args, kwargs)
         try:
-            loss_val = self._loss_fn(params, key, args, kwargs)
+            loss_val = self._loss_fn(params, key, dyn, hstatic)
         except _MissingParam:
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
-            loss_val = self._loss_fn(params, key, args, kwargs)
+            loss_val = self._loss_fn(params, key, dyn, hstatic)
         return float(jax.device_get(loss_val))
 
     def run(self, *args, num_steps=None, **kwargs):

@@ -163,10 +163,18 @@ class TraceEnum_ELBO(ELBO):
             poutine.seed(guide, rng_key=key_guide)
         )
         guide_trace = poutine.trace(guide_enum).get_trace(*args, **kwargs)
-        model_enum = EnumMessenger()(  # continue the same dim allocation
-            poutine.seed(
-                poutine.replay(model, trace=guide_trace), rng_key=key_model
-            )
+        # the EnumMessenger must be INNERMOST (ref ``traceenum_elbo.py:
+        # 383-385``: ``model = model_enum(model)`` wrapped by replay): it
+        # has to process each site before replay marks it done, so that
+        # every model site — including replayed latents downstream of an
+        # enumerated guide site — records the allocator's dim_to_id for
+        # log_prob packing.
+        model_enum = poutine.seed(
+            poutine.replay(
+                EnumMessenger()(model),  # continue the same dim allocation
+                trace=guide_trace,
+            ),
+            rng_key=key_model,
         )
         model_trace = poutine.trace(model_enum).get_trace(*args, **kwargs)
 

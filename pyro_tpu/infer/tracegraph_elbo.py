@@ -57,13 +57,37 @@ class TraceGraph_ELBO(ELBO):
                     site["cond_indep_stack"]
                 )
                 dc = jax.lax.stop_gradient(dc)
-                # optional decaying-average baseline
-                baseline = site["infer"].get("baseline", {})
-                if baseline.get("use_decaying_avg_baseline", False):
-                    dc = dc - self._decaying_baseline(
-                        name, dc, baseline.get("baseline_beta", 0.90)
+                # baselines (ref ``tracegraph_elbo.py:74-170``): a
+                # decaying average and/or a data-dependent
+                # ``baseline_value`` (NVIL; compute it in the guide from
+                # a net registered with flax_module/pyro.param).  The
+                # baseline net trains through an auxiliary MSE between
+                # the detached downstream cost and the baseline, which
+                # we add to the surrogate only (the reported loss value
+                # is unchanged — see ``differentiable_loss``).
+                baseline_cfg = site["infer"].get("baseline", {})
+                if baseline_cfg.get("nn_baseline") is not None:
+                    raise NotImplementedError(
+                        "nn_baseline modules are torch-specific; compute "
+                        "the value in the guide (with a flax_module) and "
+                        "pass infer={'baseline': {'baseline_value': v}}"
                     )
-                surrogate = surrogate + jnp.sum(dc * score_function)
+                bv = 0.0
+                if baseline_cfg.get("use_decaying_avg_baseline", False):
+                    bv = bv + self._decaying_baseline(
+                        name, dc, baseline_cfg.get("baseline_beta", 0.90)
+                    )
+                if "baseline_value" in baseline_cfg:
+                    baseline_value = baseline_cfg["baseline_value"]
+                    bv = bv + baseline_value
+                    baseline_losses.append(
+                        jnp.sum((dc - baseline_value) ** 2)
+                    )
+                surrogate = surrogate + jnp.sum(
+                    jax.lax.stop_gradient(dc - bv) * score_function
+                )
+        for bl in baseline_losses:
+            surrogate = surrogate - bl  # sign flips with -surrogate below
         return -elbo, -surrogate
 
     _baselines: dict = {}

@@ -79,6 +79,33 @@ def StepLR(optim_args=None, **kwargs):
     return PyroOptim(ctor, args)
 
 
+def MultiStepLR(optim_args=None, **kwargs):
+    """Adam whose lr drops by ``gamma`` at each step in ``milestones``
+    (torch MultiStepLR parity, ref ``optim/lr_scheduler.py:12``).
+
+    Milestones count optimizer steps; the reference's per-epoch
+    ``scheduler.step()`` convention maps to passing milestones already
+    multiplied by steps-per-epoch.
+    """
+    args = dict(optim_args or kwargs)
+    # reference passes {"optimizer": Adam, "optim_args": {...}} — accept
+    # and flatten that layout too.
+    args.pop("optimizer", None)
+    inner = args.pop("optim_args", None)
+    if inner:
+        args.update(inner)
+    milestones = list(args.pop("milestones", []))
+    gamma = args.pop("gamma", 0.1)
+    base_lr = args.pop("lr", 1e-3)
+
+    def ctor(**a):
+        boundaries = {int(m): gamma for m in milestones}
+        sched = optax.piecewise_constant_schedule(base_lr, boundaries)
+        return optax.adam(sched)
+
+    return PyroOptim(ctor, args)
+
+
 def CosineAnnealingLR(optim_args=None, **kwargs):
     args = dict(optim_args or kwargs)
     T_max = args.pop("T_max", 1000)

@@ -42,16 +42,16 @@ class DataParallelSVI(SVI):
         rep = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(axis))
 
-        def sharded_update(params, opt_state, rng_key, args, kwargs):
+        def sharded_update(params, opt_state, rng_key, dyn, hstatic):
             params = jax.tree.map(
                 lambda x: jax.device_put(x, rep), params
             )
-            args = jax.tree.map(
+            dyn = jax.tree.map(
                 lambda x: jax.device_put(x, shard)
                 if hasattr(x, "ndim") and x.ndim >= 1
                 else x,
-                args,
+                dyn,
             )
-            return base_update(params, opt_state, rng_key, args, kwargs)
+            return base_update(params, opt_state, rng_key, dyn, hstatic)
 
         self._update_fn = sharded_update

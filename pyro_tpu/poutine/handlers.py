@@ -60,7 +60,22 @@ class TraceHandler:
 
     def __call__(self, *args, **kwargs):
         with self.msngr:
-            return self.fn(*args, **kwargs)
+            ret = self.fn(*args, **kwargs)
+            # record fn inputs/return for parity with the reference's
+            # trace structure (ref ``trace_messenger.py:TraceHandler``);
+            # these nodes have type "args"/"return" so sample/param
+            # consumers skip them.
+            tr = self.msngr.get_trace()
+            if "_INPUT" not in tr.nodes:
+                tr.add_node(
+                    "_INPUT",
+                    name="_INPUT",
+                    type="args",
+                    args=args,
+                    kwargs=kwargs,
+                )
+            tr.add_node("_RETURN", name="_RETURN", type="return", value=ret)
+            return ret
 
     def get_trace(self, *args, **kwargs) -> Trace:
         self(*args, **kwargs)
