@@ -80,7 +80,7 @@ def main(args):
         latent_shape=(NUM_CLASSES,),
         num_data=n_train,
         whiten=True,
-        jitter=2e-4,
+        jitter=1e-3,
     )
     svi = SVI(
         gpmodule.model,
@@ -107,6 +107,6 @@ if __name__ == "__main__":
     p.add_argument("--num-data", type=int, default=500)
     p.add_argument("--num-inducing", type=int, default=30)
     p.add_argument("--num-steps", type=int, default=500)
-    p.add_argument("--learning-rate", type=float, default=0.01)
+    p.add_argument("--learning-rate", type=float, default=0.005)
     p.add_argument("--seed", type=int, default=0)
     main(p.parse_args())

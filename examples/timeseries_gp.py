@@ -73,6 +73,6 @@ if __name__ == "__main__":
     p.add_argument("--model", default="imgp", choices=["imgp", "lcmgp"])
     p.add_argument("--train-window", type=int, default=80)
     p.add_argument("--num-steps", type=int, default=300)
-    p.add_argument("--learning-rate", type=float, default=0.03)
+    p.add_argument("--learning-rate", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=0)
     main(p.parse_args())

@@ -46,6 +46,7 @@ class CompartmentalModel:
         # relaxed mode: count distributions become moment-matched Normals
         # over real flows during inference (ref fit_svi relaxed=True path)
         self.relaxed = True
+        self.num_quant_bins = 1
 
     @property
     def region_plate(self):
@@ -96,7 +97,13 @@ class CompartmentalModel:
         )
         if rng_key is not None:
             model = poutine.seed(model, rng_key=rng_key)
-        trace = poutine.trace(model).get_trace()
+        # simulate with the TRUE discrete count distributions (the
+        # reference's _generative_model is never relaxed)
+        old_relaxed, self.relaxed = self.relaxed, False
+        try:
+            trace = poutine.trace(model).get_trace()
+        finally:
+            self.relaxed = old_relaxed
         return {
             name: site["value"]
             for name, site in trace.nodes.items()
@@ -129,6 +136,153 @@ class CompartmentalModel:
         self.guide = guide
         return losses
 
+    # -- quantized-enumeration inference (ref ``compartmental.py:1000``) ----
+
+    def _quantized_model(self):
+        """Asymptotically exact model for ``fit_mcmc(num_quant_bins>1)``
+        (ref ``compartmental.py:1000-1086``): the integer compartment
+        series is reparameterized by a continuous ``auxiliary`` series;
+        each auxiliary value is locally enumerated over the Q nearest
+        integers with spline weights, the joint transition factor becomes
+        a (Q^C x Q^C) matrix per time step, and time is eliminated
+        exactly by an O(log T) ``_sequential_logmatmulexp`` chain —
+        parallel-scan tensor variable elimination on the MXU.
+        """
+        import functools
+        import operator
+
+        from ...distributions.hmm import _sequential_logmatmulexp
+        from .util import quantize_enumerate
+
+        if self.is_regional:
+            raise NotImplementedError(
+                "quantized enumeration currently supports scalar-"
+                "population models; regional models use the relaxed mode"
+            )
+        C = len(self.compartments)
+        T = self.duration
+        Q = self.num_quant_bins
+        pop = jnp.asarray(self.population, jnp.result_type(float))
+
+        params = self.global_model()
+        auxiliary = pyro.sample(
+            "auxiliary",
+            dist.Uniform(-0.5, pop + 0.5)
+            .mask(False)
+            .expand((C, T))
+            .to_event(2),
+        )
+        # (C, T, Q) enumerated integer values and their spline logits
+        curr_q, logp_q = quantize_enumerate(
+            auxiliary, 0.0, pop, num_quant_bins=Q
+        )
+
+        def enum_reshape(x, position):
+            # (T, Q) -> Q at axis -(2 + position), time at axis -1
+            x = jnp.moveaxis(x, -1, 0)
+            return x.reshape((Q,) + (1,) * position + (T,))
+
+        init = self.initialize(params)
+        curr, prev, logp = {}, {}, {}
+        for e, name in enumerate(self.compartments):
+            vals = curr_q[e]  # (T, Q)
+            init_v = jnp.broadcast_to(
+                jnp.asarray(init[name], vals.dtype), (1, Q)
+            )
+            prev_vals = jnp.concatenate([init_v, vals[:-1]], 0)
+            curr[name] = enum_reshape(vals, e)
+            logp[name] = enum_reshape(logp_q[e], e)
+            prev[name] = enum_reshape(prev_vals, C + e)
+        # non-enumerated proxies for approximate compartments
+        # (ref :1049-1056)
+        for name in self.approximate:
+            aux_c = auxiliary[self.compartments.index(name)]
+            curr[name + "_approx"] = aux_c
+            prev[name + "_approx"] = jnp.concatenate(
+                [
+                    jnp.reshape(
+                        jnp.asarray(init[name], aux_c.dtype), (1,)
+                    ),
+                    aux_c[:-1],
+                ]
+            )
+
+        # record transition factors, vectorized over time (ref :1058-1075)
+        t = slice(0, T, 1)
+        cond_data = {f"{k}_{t}": v for k, v in curr.items()}
+        cond_data.update(self.compute_flows(prev, curr, t))
+        with poutine.block():
+            with poutine.trace() as tr:
+                with pyro.plate("time", T, dim=-1):
+                    with poutine.condition(data=cond_data):
+                        state = dict(prev)
+                        self.transition(params, state, t)
+        trace = tr.trace
+        trace.compute_log_prob()
+        for name, site in trace.nodes.items():
+            if site["type"] != "sample" or type(
+                site["fn"]
+            ).__name__ == "_Subsample":
+                continue
+            lp = site["log_prob"]
+            if jnp.ndim(lp) <= 1:  # not enumerated
+                pyro.factor("transition_" + name, jnp.sum(lp))
+            else:
+                logp[name] = lp
+
+        # manual variable elimination over time (ref :1077-1086)
+        total = functools.reduce(operator.add, logp.values())
+        total = jnp.broadcast_to(total, (Q,) * (2 * C) + (T,))
+        total = total.reshape(Q**C, Q**C, T)
+        total = jnp.moveaxis(total, -1, 0)  # (T, prev, curr)
+        total = _sequential_logmatmulexp(total)  # (prev, curr)
+        from jax.scipy.special import logsumexp
+
+        logp_total = logsumexp(total)
+        pyro.factor("transition", logp_total)
+        return params
+
+    def _heuristic_init(self, num_steps: int, learning_rate: float):
+        """Initialize quantized-NUTS from a short relaxed-SVI fit: the
+        posterior-median flows are integrated through the model to a
+        feasible compartment series (the role of the reference's SMC
+        ``heuristic``, ref ``compartmental.py:737``)."""
+        import re
+
+        old_relaxed = self.relaxed
+        self.relaxed = True
+        try:
+            self.fit_svi(
+                num_steps=num_steps, learning_rate=learning_rate
+            )
+            median = self.guide.median()
+            cond = poutine.condition(
+                lambda: self._model(), data=dict(median)
+            )
+            tr = poutine.trace(
+                poutine.seed(cond, rng_key=jax.random.key(17))
+            ).get_trace()
+            pop = jnp.asarray(self.population, jnp.result_type(float))
+            series = []
+            for name in self.compartments:
+                vals = jnp.stack(
+                    [
+                        jnp.asarray(
+                            tr.nodes[f"{name}_{t}"]["value"]
+                        )
+                        for t in range(self.duration)
+                    ]
+                )
+                series.append(jnp.clip(vals, 0.0, pop))
+            init_values = {"auxiliary": jnp.stack(series)}
+            for name, value in median.items():
+                if not re.search(r"_\d+$", name):
+                    init_values[name] = value
+            return init_values
+        finally:
+            self.relaxed = old_relaxed
+            self.guide = None
+
     def fit_mcmc(
         self,
         *,
@@ -136,17 +290,41 @@ class CompartmentalModel:
         warmup_steps: Optional[int] = None,
         num_chains: int = 1,
         max_tree_depth: int = 8,
+        num_quant_bins: int = 1,
+        heuristic_num_steps: int = 500,
+        heuristic_learning_rate: float = 0.05,
         rng_key=None,
         **options,
     ):
-        """NUTS over the relaxed continuous flows (ref
-        ``compartmental.py:534``; the reference's quantized-enumeration
-        mode is subsumed by the relaxed parameterization here — flows are
-        positive reals, so the whole posterior is HMC-tractable and chains
-        vectorize on-device)."""
+        """NUTS inference (ref ``compartmental.py:534``).
+
+        With ``num_quant_bins == 1`` (default) this runs over the relaxed
+        continuous flows; with ``num_quant_bins > 1`` it runs the
+        reference's asymptotically exact mode: NUTS over the continuous
+        ``auxiliary`` series with the discrete compartment counts locally
+        enumerated and eliminated by parallel-scan TVE
+        (:meth:`_quantized_model`).  Computational cost is exponential in
+        ``num_quant_bins``.
+        """
         from ...infer.mcmc import MCMC, NUTS
 
-        kernel = NUTS(self._model, max_tree_depth=max_tree_depth, **options)
+        assert num_quant_bins in (1, 2, 4, 8)
+        self.num_quant_bins = num_quant_bins
+        self.relaxed = num_quant_bins == 1
+        if num_quant_bins > 1:
+            init_values = self._heuristic_init(
+                heuristic_num_steps, heuristic_learning_rate
+            )
+            kernel = NUTS(
+                self._quantized_model,
+                max_tree_depth=max_tree_depth,
+                init_values=init_values,
+                **options,
+            )
+        else:
+            kernel = NUTS(
+                self._model, max_tree_depth=max_tree_depth, **options
+            )
         mcmc = MCMC(
             kernel,
             num_samples=num_samples,

@@ -107,7 +107,9 @@ def binomial_dist(total_count, probs, *, overdispersion=0.0):
     if not _nonzero(od):
         if _RELAX:
             return _relaxed_binomial(total_count, probs)
-        return dist.Binomial(total_count, probs=probs)
+        # Extended: out-of-support enumerated values get -inf
+        # (ref distributions.py binomial_dist -> ExtendedBinomial)
+        return dist.ExtendedBinomial(total_count, probs=probs)
     p = jnp.clip(probs, 1e-6, 1 - 1e-6)
     c = 1.0 / jnp.clip(jnp.asarray(od, jnp.result_type(float)), 1e-4) ** 2
     concentration1 = p * c
@@ -116,7 +118,9 @@ def binomial_dist(total_count, probs, *, overdispersion=0.0):
         return _relaxed_beta_binomial(
             concentration1, concentration0, total_count
         )
-    return dist.BetaBinomial(concentration1, concentration0, total_count)
+    return dist.ExtendedBetaBinomial(
+        concentration1, concentration0, total_count
+    )
 
 
 def beta_binomial_dist(

@@ -60,7 +60,9 @@ class SimpleSIRModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2I, rho),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         return new_state
 
@@ -120,7 +122,9 @@ class SimpleSEIRModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2E, rho),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         return new_state
 
@@ -190,7 +194,9 @@ class SimpleSEIRDModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2E, rho),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         return new_state
 
@@ -239,7 +245,9 @@ class OverdispersedSIRModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2I, rho, overdispersion=od),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         return new_state
 
@@ -296,7 +304,9 @@ class OverdispersedSEIRModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2E, rho, overdispersion=od),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         return new_state
 
@@ -345,7 +355,9 @@ class SuperspreadingSIRModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2I, rho),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         return new_state
 
@@ -413,7 +425,7 @@ class HeterogeneousSIRModel(CompartmentalModel):
             "I": state["I"] + S2I - I2R,
             "beta": beta,
         }
-        t_obs = t < self.duration
+        t_obs = isinstance(t, slice) or t < self.duration
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2I, rho[..., min(t, rho.shape[-1] - 1) if isinstance(t, int) else t]),
@@ -477,7 +489,9 @@ class RegionalSIRModel(CompartmentalModel):
             pyro.sample(
                 f"obs_{t}",
                 binomial_dist(S2I, rho),
-                obs=self.data[t] if t < self.duration else None,
+                obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
             )
         return {
             "S": state["S"] - S2I,
@@ -535,12 +549,18 @@ class SparseSIRModel(CompartmentalModel):
         # cumulative observation; soft Delta in relaxed mode
         from pyro_tpu import poutine
 
-        mask_t = self.mask[t] if t < self.duration else False
+        mask_t = (
+            self.mask[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else False
+        )
         with poutine.mask(mask=mask_t):
             pyro.sample(
                 f"obs_{t}",
                 dist.Normal(new_state["O"], 0.5),
-                obs=self.data[t] if t < self.duration else None,
+                obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
             )
         return new_state
 
@@ -620,7 +640,7 @@ class UnknownStartSIRModel(CompartmentalModel):
             "S": state["S"] - S2I,
             "I": state["I"] + S2I - I2R,
         }
-        t_obs = t < self.duration
+        t_obs = isinstance(t, slice) or t < self.duration
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2I, rho[..., min(t, rho.shape[-1] - 1) if isinstance(t, int) else t]),
@@ -691,7 +711,9 @@ class SuperspreadingSEIRModel(CompartmentalModel):
         pyro.sample(
             f"obs_{t}",
             binomial_dist(S2E, rho),
-            obs=self.data[t] if t < self.duration else None,
+            obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
         )
         if self.coal_likelihood is not None and t < self.duration:
             R = R0 * state["S"] / self.population
@@ -788,7 +810,9 @@ class HeterogeneousRegionalSIRModel(CompartmentalModel):
             pyro.sample(
                 f"obs_{t}",
                 binomial_dist(S2I, rho),
-                obs=self.data[t] if t < self.duration else None,
+                obs=self.data[t]
+            if (isinstance(t, slice) or t < self.duration)
+            else None,
             )
         return {
             "S": state["S"] - S2I,

@@ -136,9 +136,12 @@ class Forecaster:
         svi = SVI(
             lambda d, c: model(d, c), guide, optim, Trace_ELBO()
         )
-        self.losses = []
-        for _ in range(num_steps):
-            self.losses.append(svi.step(data, covariates))
+        # one lax.scan-compiled program instead of the reference's Python
+        # step loop (ref ``forecaster.py:259-266``) — a per-step loop pays
+        # a host<->device round trip per step on TPU
+        self.losses = [
+            float(x) for x in svi.run_steps(num_steps, data, covariates)
+        ]
 
     def __call__(self, data, covariates, num_samples: int, rng_key=None):
         """Sample forecasts over the future window

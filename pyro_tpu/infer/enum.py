@@ -78,6 +78,15 @@ def get_importance_trace(
 
     model_trace.compute_log_prob()
     guide_trace.compute_score_parts()
+    if is_validation_enabled() and max_plate_nesting is not None and (
+        max_plate_nesting != float("inf")
+    ):
+        from ..util import check_site_shape
+
+        for tr in (model_trace, guide_trace):
+            for site in tr.nodes.values():
+                if site["type"] == "sample":
+                    check_site_shape(site, int(max_plate_nesting))
     return model_trace, guide_trace
 
 

@@ -154,6 +154,7 @@ class HMC(MCMCKernel):
         jit_compile=True,
         ignore_jit_warnings=True,
         init_strategy: str = "uniform",
+        init_values=None,
     ):
         if model is None and potential_fn is None:
             raise ValueError("HMC requires a model or a potential_fn")
@@ -169,6 +170,7 @@ class HMC(MCMCKernel):
         self.full_mass = full_mass
         self.target_accept_prob = target_accept_prob
         self.init_strategy = init_strategy
+        self.init_values = init_values
         # filled by setup()
         self.potential_fn = None
         self.postprocess_fn = None
@@ -185,6 +187,7 @@ class HMC(MCMCKernel):
                 kwargs,
                 init_strategy=self.init_strategy,
                 init_params=init_params,
+                init_values=self.init_values,
                 rng_key=rng_key,
             )
             dict_potential = info.potential_fn

@@ -85,6 +85,7 @@ class NUTS(HMC):
         jit_compile=True,
         ignore_jit_warnings=True,
         init_strategy: str = "uniform",
+        init_values=None,
     ):
         super().__init__(
             model=model,
@@ -96,6 +97,7 @@ class NUTS(HMC):
             full_mass=full_mass,
             target_accept_prob=target_accept_prob,
             init_strategy=init_strategy,
+            init_values=init_values,
         )
         self.max_tree_depth = max_tree_depth
         self.use_multinomial_sampling = use_multinomial_sampling

@@ -180,9 +180,15 @@ def initialize_model(
     model_kwargs=None,
     init_strategy: str = "uniform",
     init_params: Optional[Dict] = None,
+    init_values: Optional[Dict] = None,
     rng_key=None,
 ) -> ModelInfo:
-    """Ref ``mcmc/util.py:370-505``."""
+    """Ref ``mcmc/util.py:370-505``.
+
+    ``init_params`` are UNCONSTRAINED site values; ``init_values`` are
+    CONSTRAINED site values (the reference's ``init_to_value`` strategy) —
+    missing sites fall back to a prototype-trace draw.
+    """
     model_kwargs = model_kwargs or {}
     if rng_key is None:
         rng_key = jax.random.key(0)
@@ -202,6 +208,15 @@ def initialize_model(
 
     if init_params is not None:
         initial = init_params
+    elif init_values is not None:
+        merged = {
+            name: jnp.asarray(
+                init_values.get(name, site["value"]),
+                jnp.result_type(float),
+            )
+            for name, site in latents.items()
+        }
+        initial = unconstrain(merged)
     else:
 
         def prior_sampler(key):

@@ -183,6 +183,17 @@ class TraceEnum_ELBO(ELBO):
         model_trace.compute_log_prob()
         guide_trace.compute_score_parts()
         # pack with a shared plate-symbol namespace
+        from .util import is_validation_enabled
+
+        if is_validation_enabled():
+            from ..util import check_site_shape
+
+            for tr in (model_trace, guide_trace):
+                for site in tr.nodes.values():
+                    if site["type"] == "sample":
+                        check_site_shape(
+                            site, int(self.max_plate_nesting)
+                        )
         model_trace.pack_tensors()
         guide_trace.pack_tensors(model_trace.plate_to_symbol)
         return model_trace, guide_trace

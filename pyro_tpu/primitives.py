@@ -191,7 +191,9 @@ def module(name: str, nn_module, update_module_params: bool = False):
     )
 
 
-_VALIDATION_ENABLED = False
+# default tracks ``__debug__`` like the reference (``primitives.py:564``):
+# validation on unless python runs with -O
+_VALIDATION_ENABLED = __debug__
 
 
 def enable_validation(is_validate: bool = True) -> None:

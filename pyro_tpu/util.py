@@ -123,40 +123,73 @@ def check_model_guide_match(model_trace, guide_trace, max_plate_nesting=None):
 
 
 def check_site_shape(site, max_plate_nesting: int) -> None:
-    """Ref ``pyro/util.py:465``: log_prob shape must fit within declared
-    plate dims."""
+    """Ref ``pyro/util.py:465``: a site's log_prob must fit inside the
+    declared plate dims — every dim right of ``-max_plate_nesting`` must be
+    either size 1 or declared by a plate; dims further left are reserved
+    for enumeration."""
+    from itertools import zip_longest
+
     if "log_prob" not in site:
         return
     actual_shape = list(site["log_prob"].shape)
+
     expected_shape: list = []
-    for f in reversed(site["cond_indep_stack"]):
+    for f in site["cond_indep_stack"]:
         if f.dim is not None:
             assert f.dim < 0
-            while len(expected_shape) < -f.dim:
-                expected_shape.append(None)
-            if expected_shape[-f.dim - 1] not in (None, f.subsample_size):
+            if len(expected_shape) < -f.dim:
+                expected_shape = [None] * (
+                    -f.dim - len(expected_shape)
+                ) + expected_shape
+            if expected_shape[f.dim] is not None:
                 raise ValueError(
-                    f"at site '{site['name']}' plates {f.name} overlap at "
-                    f"dim {f.dim}"
+                    f'at site "{site["name"]}" within plate("{f.name}", '
+                    f"dim={f.dim}), dim collision\n"
+                    "Try setting dim arg in other plates."
                 )
-            expected_shape[-f.dim - 1] = f.subsample_size
-    expected_shape.reverse()
-    if len(actual_shape) > max_plate_nesting and max_plate_nesting >= 0:
-        pass  # enumeration dims allowed to the left
-    for dim in range(-1, -1 - len(expected_shape), -1):
-        if expected_shape[dim] is None:
-            continue
-        if len(actual_shape) < -dim or actual_shape[dim] not in (
-            1,
-            expected_shape[dim],
+            expected_shape[f.dim] = (
+                f.subsample_size
+                if f.subsample_size is not None
+                else f.size
+            )
+    expected_shape = [-1 if e is None else e for e in expected_shape]
+
+    if len(expected_shape) > max_plate_nesting:
+        raise ValueError(
+            f'at site "{site["name"]}", plate stack overflow\n'
+            f"Try increasing max_plate_nesting to at least "
+            f"{len(expected_shape)}"
+        )
+
+    # ignore dims left of max_plate_nesting (enumeration/particles)
+    if max_plate_nesting < len(actual_shape):
+        actual_shape = actual_shape[
+            len(actual_shape) - max_plate_nesting :
+        ]
+
+    for actual_size, expected_size in zip_longest(
+        reversed(actual_shape), reversed(expected_shape), fillvalue=1
+    ):
+        if expected_size != -1 and expected_size != actual_size:
+            raise ValueError(
+                f'at site "{site["name"]}", invalid log_prob shape\n'
+                f"Expected {expected_shape}, actual {actual_shape}\n"
+                "Try one of the following fixes:\n"
+                "- enclose the batched tensor in a with pyro.plate(...) "
+                "context\n"
+                "- .to_event(...) the distribution being sampled\n"
+                "- .permute() data dimensions"
+            )
+
+    enum_dim = site["infer"].get("_enumerate_dim")
+    if enum_dim is not None:
+        if (
+            len(site["fn"].batch_shape) >= -enum_dim
+            and site["fn"].batch_shape[enum_dim] != 1
         ):
             raise ValueError(
-                f"at site '{site['name']}', invalid log_prob shape "
-                f"{tuple(actual_shape)}; expected dim {dim} to be "
-                f"{expected_shape[dim]} (declared by a plate) or 1.\n"
-                "Try one of:\n"
-                "  - enclosing the batched dim in a plate\n"
-                "  - .to_event(...) to treat it as an event dim"
+                f'Enumeration dim conflict at site "{site["name"]}"\n'
+                "Try increasing pyro.markov history size"
             )
 
 

@@ -28,3 +28,38 @@ def _clean_global_state():
     pyro_tpu.set_rng_seed(0)
     yield
     pyro_tpu.clear_param_store()
+
+
+# -- stage markers (ref ``tests/conftest.py:40-115``) -----------------------
+#
+# Tests default to stage "unit"; slow statistical / training-loop suites
+# mark themselves ``pytestmark = pytest.mark.stage("integration")``.
+# Select with ``--stage unit`` (fast tier), ``--stage integration``, or no
+# flag for everything.
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--stage",
+        action="append",
+        metavar="NAME",
+        default=[],
+        help="only run tests matching this stage; can repeat",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    stages = set(config.getoption("--stage"))
+    if not stages or "all" in stages:
+        return
+    selected, deselected = [], []
+    for item in items:
+        marker = item.get_closest_marker("stage")
+        item_stages = set(marker.args) if marker else {"unit"}
+        if item_stages & stages:
+            selected.append(item)
+        else:
+            deselected.append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected

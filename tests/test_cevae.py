@@ -1,5 +1,6 @@
 """CEVAE smoke + sign-recovery test (mirrors ``tests/contrib/cevae``)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 import pyro_tpu as pyro
 from pyro_tpu.contrib.cevae import CEVAE
 from pyro_tpu.nn import clear_module_registry
+
+pytestmark = pytest.mark.stage("integration")
 
 
 def test_cevae_recovers_effect_sign():

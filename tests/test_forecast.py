@@ -9,6 +9,8 @@ import pyro_tpu as pyro
 import pyro_tpu.distributions as dist
 from pyro_tpu.contrib.forecast import Forecaster, ForecastingModel, backtest
 
+pytestmark = pytest.mark.stage("integration")
+
 
 class TrendModel(ForecastingModel):
     """Linear trend + iid Normal noise."""

@@ -10,6 +10,8 @@ import pytest
 import pyro_tpu.distributions as dist
 from pyro_tpu.distributions.testing.gof import auto_goodness_of_fit
 
+pytestmark = pytest.mark.stage("integration")
+
 TEST_FAILURE_RATE = 5e-3  # one in 200 spurious failures per test
 
 

@@ -11,6 +11,8 @@ from pyro_tpu.contrib import gp
 from pyro_tpu.infer import SVI, Trace_ELBO, TraceMeanField_ELBO
 from pyro_tpu.optim import Adam
 
+pytestmark = pytest.mark.stage("integration")
+
 
 @pytest.fixture
 def data():

@@ -10,6 +10,8 @@ import pyro_tpu as pyro
 import pyro_tpu.distributions as dist
 from pyro_tpu.infer.mcmc import HMC, MCMC, NUTS
 
+pytestmark = pytest.mark.stage("integration")
+
 
 def run_mcmc(kernel_cls, model, args=(), num_samples=600, warmup=600, chains=2, **kw):
     mcmc = MCMC(

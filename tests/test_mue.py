@@ -17,6 +17,8 @@ from pyro_tpu.contrib.mue import (
     ProfileHMM,
 )
 
+pytestmark = pytest.mark.stage("integration")
+
 
 def _norm_logits(x):
     return x - scipy_lse(x, -1, keepdims=True)

@@ -12,6 +12,8 @@ from pyro_tpu.contrib.timeseries import (
     LinearlyCoupledMaternGP,
 )
 
+pytestmark = pytest.mark.stage("integration")
+
 
 @pytest.fixture(autouse=True)
 def _reset_names():
