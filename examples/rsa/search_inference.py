@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import pyro_tpu.distributions as dist
+from pyro_tpu import poutine
 from pyro_tpu.infer import TracePosterior
 
 
@@ -123,3 +124,86 @@ class Search(TracePosterior):
         )
         for tr, lw in zip(traces, log_ws):
             yield tr, lw
+
+
+###############################################
+# Best-first Search Inference (ref search_inference.py:161-223)
+###############################################
+
+
+def pqueue(fn, queue):
+    """Expand partial traces in probability order (ref :161-196)."""
+    import functools
+
+    from pyro_tpu.poutine.runtime import NonlocalExit
+    from pyro_tpu.poutine.util import enum_extend
+
+    def sample_escape(tr, site):
+        return (
+            (site["name"] not in tr)
+            and (site["type"] == "sample")
+            and (not site["is_observed"])
+        )
+
+    def _fn(*args, **kwargs):
+        for i in range(int(1e6)):
+            assert not queue.empty(), (
+                "trying to get() from an empty queue will deadlock"
+            )
+            priority, counter, next_trace = queue.get()
+            try:
+                ftr = poutine.trace(
+                    poutine.escape(
+                        poutine.replay(fn, trace=next_trace),
+                        escape_fn=functools.partial(
+                            sample_escape, next_trace
+                        ),
+                    )
+                )
+                return ftr(*args, **kwargs)
+            except NonlocalExit as site_container:
+                site_container.reset_stack()
+                for tr in enum_extend(
+                    ftr.trace.copy(), site_container.site
+                ):
+                    tr.compute_log_prob()
+                    # subtract noise to break priority ties
+                    queue.put(
+                        (
+                            -float(tr.log_prob_sum())
+                            + float(np.random.rand()) * 1e-2,
+                            next(_tiebreak),
+                            tr,
+                        )
+                    )
+        raise ValueError(f"max tries {1e6} exceeded")
+
+    return _fn
+
+
+_tiebreak = iter(range(10**9))
+
+
+class BestFirstSearch(TracePosterior):
+    """Enumerate executions in probability order (ref :200-223); exact
+    (equivalent to Search) when all executions fit in num_samples."""
+
+    def __init__(self, model, num_samples=None, **kwargs):
+        self.num_samples = num_samples or 100
+        self.model = model
+        super().__init__()
+
+    def _traces(self, *args, **kwargs):
+        import queue as _queue
+
+        from pyro_tpu.poutine.trace_struct import Trace
+
+        q = _queue.PriorityQueue()
+        q.put((0.0, next(_tiebreak), Trace()))
+        q_fn = pqueue(self.model, queue=q)
+        for i in range(self.num_samples):
+            if q.empty():
+                break  # num_samples was too large!
+            tr = poutine.trace(q_fn).get_trace(*args, **kwargs)
+            tr.compute_log_prob()
+            yield tr, tr.log_prob_sum()

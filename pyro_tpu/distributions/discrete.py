@@ -116,7 +116,10 @@ class Categorical(Distribution):
     def __init__(self, probs=None, logits=None):
         _entmax_arg(probs, logits)
         if probs is not None:
-            self._probs = jnp.asarray(probs, jnp.result_type(probs, jnp.float32))
+            probs = jnp.asarray(probs, jnp.result_type(probs, jnp.float32))
+            # torch semantics: probs need not be normalized — normalize
+            # along the event dim (torch Categorical.__init__)
+            self._probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
             self._logits = None
             batch_shape = jnp.shape(self._probs)[:-1]
             self._num_events = jnp.shape(self._probs)[-1]

@@ -50,9 +50,22 @@ class TracePosterior(metaclass=ABCMeta):
         return trace
 
     def run(self, *args, **kwargs):
-        """Populate execution traces (ref :241)."""
+        """Populate execution traces (ref :241-260).
+
+        The trace loop runs under an argless ``poutine.block()`` so that
+        sites sampled while collecting posterior traces are hidden from
+        any handlers enclosing this call — essential for *nested*
+        inference (e.g. RSA speaker/listener marginals), where an outer
+        search's escape/trace messengers must not observe the inner
+        search's sites, and ``NonlocalExit.reset_stack`` must stop
+        unwinding at this block boundary.
+        """
+        from .. import poutine
+
         self._reset()
-        for vals in self._traces(*args, **kwargs):
+        with poutine.block():
+            yielded = list(self._traces(*args, **kwargs))
+        for vals in yielded:
             if len(vals) == 2:
                 chain_id = 0
                 tr, logit = vals

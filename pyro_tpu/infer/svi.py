@@ -83,6 +83,7 @@ class SVI:
         loss_and_grads=None,
         num_samples: int = 0,
         num_steps: int = 0,
+        check_structure_every: int = 0,
         **kwargs,
     ):
         self.model = model
@@ -95,6 +96,17 @@ class SVI:
         self._param_names: Optional[tuple] = None
         self._rng_key = jax.random.key(0)
         self._initialized = False
+        # Models whose *param set* changes under Python-side state (e.g. a
+        # new param site appears at epoch N via a non-traced branch) are
+        # invisible to the cached compiled step — XLA burnt the old branch
+        # in.  ``check_structure_every=k`` re-traces the loss abstractly
+        # (``jax.eval_shape``: Python-trace cost, zero FLOPs — the same
+        # per-step cost the reference pays for eager execution,
+        # ``svi.py:134``) every k steps and lazily re-initializes when a
+        # new param materializes.  0 (default) keeps the hot path
+        # launch-only.
+        self._check_structure_every = int(check_structure_every)
+        self._step_count = 0
 
     def _next_key(self, rng_key=None):
         if rng_key is not None:
@@ -157,6 +169,7 @@ class SVI:
 
         self._update_fn = jax.jit(update, static_argnums=(4,))
         self._loss_fn = jax.jit(loss_fn, static_argnums=(3,))
+        self._loss_fn_raw = loss_fn  # unjitted, for abstract structure checks
         self._scan_fn = None  # invalidate run_steps cache (closes over update)
 
     # -- public API ---------------------------------------------------------------
@@ -173,6 +186,20 @@ class SVI:
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
         dyn, hstatic = _partition_args(args, kwargs)
+        self._step_count += 1
+        if self._check_structure_every and (
+            self._step_count % self._check_structure_every == 0
+        ):
+            try:
+                jax.eval_shape(
+                    lambda p, k, d: self._loss_fn_raw(p, k, d, hstatic),
+                    params,
+                    key,
+                    dyn,
+                )
+            except _MissingParam:
+                self._init(key, args, kwargs)
+                params = store.get_all_unconstrained()
         try:
             loss_val, new_params, self._opt_state = self._update_fn(
                 params, self._opt_state, key, dyn, hstatic

@@ -40,6 +40,11 @@ class TraceMessenger(Messenger):
     def get_trace(self) -> Trace:
         return self.trace
 
+    def _reset(self):
+        # fresh trace on NonlocalExit re-execution (ref
+        # ``trace_messenger.py:_reset``, used by queue/pqueue loops)
+        self.trace = Trace(self.graph_type)
+
     def _postprocess_message(self, msg):
         if msg["type"] in ("sample", "param") and (
             not self.param_only or msg["type"] == "param"
@@ -215,6 +220,8 @@ class SeedMessenger(Messenger):
 
 class BlockMessenger(Messenger):
     """Hide sites from handlers above this one (ref ``block_messenger.py``)."""
+
+    _is_block = True
 
     def __init__(
         self,

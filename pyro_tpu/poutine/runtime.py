@@ -170,12 +170,17 @@ class NonlocalExit(Exception):
         self.site = site
 
     def reset_stack(self) -> None:
-        from .messenger import Messenger
-
-        while _PYRO_STACK:
-            m = _PYRO_STACK[-1]
-            m.__exit__(type(self), self, None)
-            if isinstance(m, Messenger) and getattr(m, "_is_escape", False):
+        """Reset the state of the frames remaining in the stack (ref
+        ``runtime.py:321-331``): exception unwinding already popped the
+        handlers between the raise site and the catch site, so only
+        *reset* what remains — popping here would corrupt outer handlers
+        (e.g. the trace handler driving a queue/pqueue re-execution
+        loop)."""
+        for frame in reversed(_PYRO_STACK):
+            frame._reset()
+            if getattr(frame, "_is_block", False) and frame.hide_fn(
+                self.site
+            ):
                 break
 
 

@@ -49,7 +49,9 @@ def enum_extend(trace, msg, num_samples=None):
         num_samples = -1
     extended_traces = []
     support = msg["fn"].enumerate_support()
-    n = support.shape[0]
+    # supports may be arrays or python lists (e.g. HashingMarginal over
+    # heterogeneous values like strings)
+    n = len(support)
     count = n if num_samples < 0 else min(n, num_samples)
     for i in range(count):
         msg_copy = dict(msg)

@@ -238,6 +238,7 @@ def test_masked_linear():
     assert float(out[0, 0]) == 0.0  # masked path contributes nothing
 
 
+@pytest.mark.stage("integration")
 def test_lgssm_gp_noise_model():
     from pyro_tpu.contrib.timeseries import GenericLGSSMWithGPNoiseModel
 

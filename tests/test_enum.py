@@ -321,6 +321,7 @@ def test_infer_discrete_chain_posterior_sampling():
     assert abs(counts[1] / n - p_z0_1) < 0.12, (counts[1] / n, p_z0_1)
 
 
+@pytest.mark.stage("integration")
 def test_hmm_example_models_train():
     """examples/hmm.py models 0-2 run end-to-end (smoke, tiny shapes)."""
     import sys, types, os

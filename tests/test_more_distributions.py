@@ -301,6 +301,7 @@ def test_stable_log_prob_vs_scipy(alpha, beta):
     assert np.allclose(actual, expected, atol=atol), (actual, expected)
 
 
+@pytest.mark.stage("integration")
 def test_stable_log_prob_grad_and_fit():
     """Gradients flow through the quadrature: fit scale by MLE."""
     rng = np.random.RandomState(0)

@@ -128,3 +128,79 @@ def test_clipped_adam_runs():
     )
     losses = [svi.step(data) for _ in range(20)]
     assert np.isfinite(losses).all()
+
+
+def test_step_param_materializes_under_control_flow():
+    """A param that first appears at step N (data-dependent Python branch)
+    must trigger the lazy re-init path, not a crash (``svi.py:152-158``)."""
+    import pyro_tpu as pyro
+    from pyro_tpu.infer import SVI, Trace_ELBO
+    from pyro_tpu.optim import Adam
+
+    pyro.clear_param_store()
+    phase = {"n": 0}
+
+    def model():
+        pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros(()))
+        if phase["n"] >= 3:
+            # a second param materializes only later in training
+            extra = pyro.param("late_scale", jnp.ones(()))
+            pyro.sample("z", dist.Normal(loc, extra))
+        else:
+            pyro.sample("z", dist.Normal(loc, 1.0))
+
+    # Python-side state changes are invisible to a cached compiled step;
+    # check_structure_every re-traces the loss abstractly each k steps
+    # (the same per-step Python cost the reference pays for eager
+    # execution) and re-initializes when a new param materializes.
+    svi = SVI(
+        model,
+        guide,
+        Adam({"lr": 1e-3}),
+        Trace_ELBO(),
+        check_structure_every=1,
+    )
+    losses = []
+    for i in range(6):
+        phase["n"] = i
+        losses.append(svi.step())
+    assert all(np.isfinite(losses)), losses
+    assert "late_scale" in pyro.get_param_store().keys()
+
+
+def test_run_steps_matches_step_loop():
+    """One scanned run_steps(n) program equals n eager step() calls given
+    the same keys."""
+    import jax
+    import pyro_tpu as pyro
+    from pyro_tpu.infer import SVI, Trace_ELBO
+    from pyro_tpu.optim import Adam
+
+    data = jax.random.normal(jax.random.key(0), (20,)) + 1.0
+
+    def model(data):
+        loc = pyro.sample("loc", dist.Normal(0.0, 1.0))
+        with pyro.plate("data", 20):
+            pyro.sample("obs", dist.Normal(loc, 1.0), obs=data)
+
+    def guide(data):
+        q = pyro.param("q_loc", jnp.zeros(()))
+        pyro.sample("loc", dist.Normal(q, 0.1))
+
+    pyro.clear_param_store()
+    pyro.set_rng_seed(0)
+    svi1 = SVI(model, guide, Adam({"lr": 0.1}), Trace_ELBO())
+    svi1.run_steps(30, data, rng_key=jax.random.key(42))
+    scanned = float(pyro.param("q_loc"))
+
+    pyro.clear_param_store()
+    pyro.set_rng_seed(0)
+    svi2 = SVI(model, guide, Adam({"lr": 0.1}), Trace_ELBO())
+    keys = jax.random.split(jax.random.key(42), 30)
+    for k in keys:
+        svi2.step(data, rng_key=k)
+    eager = float(pyro.param("q_loc"))
+    assert abs(scanned - eager) < 1e-4, (scanned, eager)
