@@ -601,13 +601,13 @@ def broadcast(fn=None):
 
 
 def collapse(fn=None, *args, **kwargs):
-    """Ref ``poutine/collapse.py``: collapses sites by funsor message
-    passing.  The funsor dependency is unavailable; use
-    ``pyro_tpu.contrib.conjugate.collapse_conjugate`` for conjugate pairs
-    or enumeration (``TraceEnum_ELBO`` / ``infer_discrete``) for discrete
-    sites, which cover the same models natively."""
-    raise NotImplementedError(
-        "poutine.collapse requires the external 'funsor' package. Use "
-        "contrib.conjugate.collapse_conjugate (conjugate pairs) or "
-        "enumeration (TraceEnum_ELBO / infer_discrete) instead."
-    )
+    """Ref ``poutine/collapse_messenger.py``: marginalize latents out of
+    conjugate prior->observed-likelihood pairs inside the context.  The
+    reference contracts lazy funsor terms; this native version computes
+    exact sufficient-statistic marginals for recognized pairs (see
+    :mod:`pyro_tpu.poutine.collapse_messenger`).  For latent chains use
+    enumeration or ``contrib.conjugate.collapse_conjugate``."""
+    from .collapse_messenger import CollapseMessenger
+
+    msngr = CollapseMessenger(*args, **kwargs)
+    return msngr if fn is None else msngr(fn)
