@@ -61,8 +61,10 @@ def main(args):
     for name in get_param_store():
         print(f"{name} = {jax.device_get(pyro.param(name))}")
 
-    # conjugate posterior: loc | data ~ N(sum(data)/(n+1), 1/(n+1))
-    assert abs(float(pyro.param("guide_loc")) - 3.0) < 0.1
+    # conjugate posterior: loc | data ~ N(sum(data)/(n+1), 1/(n+1));
+    # only check convergence when given enough steps to converge
+    if args.num_steps >= 1000:
+        assert abs(float(pyro.param("guide_loc")) - 3.0) < 0.1
     return float(pyro.param("guide_loc"))
 
 

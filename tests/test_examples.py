@@ -63,7 +63,7 @@ CPU_EXAMPLES = [
     ),
     ("mue_factor.py", ["--epochs=2"]),
     ("mue_profile_hmm.py", ["--epochs=2"]),
-    ("neutra.py", ["--num-steps=10", "--num-samples=20", "--num-warmup=20"]),
+    ("neutra.py", ["--num-svi-steps=10", "--num-samples=20"]),
     ("oed_ab_test.py", ["--step=50", "--num-outer=20", "--num-inner=8"]),
     ("rsa/generics.py", []),
     ("rsa/hyperbole.py", ["--price=10000"]),
