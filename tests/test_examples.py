@@ -23,6 +23,8 @@ EXAMPLES_DIR = os.path.join(REPO, "examples")
 CPU_EXAMPLES = [
     ("air.py", ["--num-epochs=1", "--num-data=64", "--batch-size=32"]),
     ("autoname_mixture.py", ["-n=10"]),
+    ("autoname_scoping_mixture.py", ["-n=10"]),
+    ("autoname_tree_data.py", ["-n=10"]),
     ("baseball.py", ["--num-samples=20", "--warmup-steps=20"]),
     ("capture_recapture/cjs.py", ["--num-steps=10"]),
     ("cevae_synthetic.py", ["--num-data=128", "--num-epochs=5"]),
@@ -49,6 +51,16 @@ CPU_EXAMPLES = [
         ],
     ),
     ("einsum.py", []),
+    (
+        "epidemiology_regional.py",
+        [
+            "--duration=8",
+            "--forecast=3",
+            "--num-steps=50",
+            "--num-samples=20",
+            "--min-observations=2",
+        ],
+    ),
     ("forecast_bart.py", ["--num-steps=20", "--num-samples=5"]),
     ("gp_svdkl.py", ["--num-steps=20", "--num-data=64"]),
     ("hmm.py", ["--model=1", "--num-steps=3", "--hidden-dim=2"]),
@@ -65,6 +77,7 @@ CPU_EXAMPLES = [
     ("mue_profile_hmm.py", ["--epochs=2"]),
     ("neutra.py", ["--num-svi-steps=10", "--num-samples=20"]),
     ("oed_ab_test.py", ["--step=50", "--num-outer=20", "--num-inner=8"]),
+    ("oed_gp_bayes_opt.py", ["--num-steps=2", "--num-candidates=8"]),
     ("rsa/generics.py", []),
     ("rsa/hyperbole.py", ["--price=10000"]),
     ("rsa/schelling.py", ["--depth=2"]),
@@ -86,6 +99,7 @@ CPU_EXAMPLES = [
     ),
     ("ss_vae_M2.py", ["--num-epochs=1", "--num-data=200", "--batch-size=100"]),
     ("svi_data_parallel.py", ["--size=512", "--num-steps=50"]),
+    ("svi_optax.py", ["--num-steps=100"]),
     ("timeseries_gp.py", ["--num-steps=20", "--train-window=20"]),
     (
         "toy_mixture_model_discrete_enumeration.py",
