@@ -104,3 +104,107 @@ def test_gof_detects_wrong_density():
     wrong = np.exp(np.asarray(dist.Normal(0.0, 2.0).log_prob(samples)))
     gof = auto_goodness_of_fit(np.asarray(samples), wrong)
     assert gof < 1e-6, gof
+
+
+# -- discrete catalog: exact multinomial chi-square frequency tests ----------
+
+DISCRETE_CASES = [
+    ("Bernoulli", lambda: dist.Bernoulli(0.3), 2),
+    ("Categorical", lambda: dist.Categorical(jnp.asarray([0.2, 0.5, 0.3])), 3),
+    ("Binomial", lambda: dist.Binomial(8, 0.4), 9),
+    ("Poisson", lambda: dist.Poisson(2.5), 12),
+    ("Geometric", lambda: dist.Geometric(0.45), 10),
+    ("NegativeBinomial", lambda: dist.NegativeBinomial(4.0, probs=0.35), 10),
+    ("BetaBinomial", lambda: dist.BetaBinomial(2.0, 3.0, 8), 9),
+    ("GammaPoisson", lambda: dist.GammaPoisson(3.0, 1.2), 10),
+    (
+        "DirichletMultinomial1",
+        lambda: dist.DirichletMultinomial(jnp.asarray([1.5, 2.5, 1.0]), 1),
+        3,
+    ),
+    ("ZeroInflatedPoisson", lambda: dist.ZeroInflatedPoisson(3.0, gate=0.3), 10),
+    (
+        "OrderedLogistic",
+        lambda: dist.OrderedLogistic(
+            0.4, jnp.asarray([-1.0, 0.5, 2.0])
+        ),
+        4,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,make,support", DISCRETE_CASES, ids=[c[0] for c in DISCRETE_CASES]
+)
+def test_discrete_gof(name, make, support):
+    from pyro_tpu.distributions.testing.gof import multinomial_goodness_of_fit
+
+    d = make()
+    n = 20000
+    samples = np.asarray(
+        jax.device_get(d.sample(jax.random.key(hash(name) % 2**31), (n,)))
+    )
+    if samples.ndim == 2:  # one-hot (DirichletMultinomial with n=1)
+        samples = samples.argmax(-1)
+    values = jnp.arange(support, dtype=jnp.result_type(samples.dtype, jnp.float32))
+    if name == "DirichletMultinomial1":
+        probs = np.asarray(
+            [
+                float(
+                    jnp.exp(
+                        d.log_prob(
+                            jax.nn.one_hot(v, support)
+                        )
+                    )
+                )
+                for v in range(support)
+            ]
+        )
+    else:
+        probs = np.exp(np.asarray(d.log_prob(values)))
+    counts = np.bincount(
+        np.clip(samples.astype(np.int64), 0, support - 1), minlength=support
+    )
+    # fold the tail mass into the last bin for unbounded supports
+    probs[-1] += max(0.0, 1.0 - probs.sum())
+    gof = multinomial_goodness_of_fit(probs, counts, total_count=n)
+    assert gof > TEST_FAILURE_RATE, (name, gof)
+
+
+# -- additional catalog coverage ---------------------------------------------
+
+EXTRA_CASES = [
+    ("Stable", lambda: dist.StableWithLogProb(1.7, 0.5, 1.0, 0.0)),
+    (
+        "FoldedNormal",
+        lambda: dist.FoldedDistribution(dist.Normal(0.5, 1.2)),
+    ),
+    (
+        "TransformedExp",
+        lambda: dist.TransformedDistribution(
+            dist.Normal(0.0, 1.0), [dist.transforms.ExpTransform()]
+        ),
+    ),
+    (
+        "MixtureSameFamily",
+        lambda: dist.MixtureSameFamily(
+            dist.Categorical(jnp.asarray([0.4, 0.6])),
+            dist.Normal(jnp.asarray([-2.0, 2.0]), jnp.asarray([0.7, 1.1])),
+        ),
+    ),
+    (
+        "GammaPoissonContinuousTest",
+        lambda: dist.LogNormal(0.2, 0.4),
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,make", EXTRA_CASES, ids=[c[0] for c in EXTRA_CASES]
+)
+def test_extra_gof(name, make):
+    d = make()
+    samples = d.sample(jax.random.key(hash(name) % 2**31), (20000,))
+    probs = np.exp(np.asarray(d.log_prob(samples)))
+    gof = auto_goodness_of_fit(np.asarray(samples), probs)
+    assert gof > TEST_FAILURE_RATE, (name, gof)
