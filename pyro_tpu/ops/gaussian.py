@@ -199,12 +199,15 @@ class Gaussian:
             return self
         n = self.dim
         n_b = left + right
-        a_idx = jnp.arange(left, n - right)
-        b_idx = jnp.concatenate(
-            [jnp.arange(left), jnp.arange(n - right, n)]
-        )
-        perm = jnp.concatenate([a_idx, b_idx])
-        g = self.event_permute(perm)
+        if left == 0:
+            g = self  # already in (keep, marginalized) order: no gather
+        else:
+            a_idx = jnp.arange(left, n - right)
+            b_idx = jnp.concatenate(
+                [jnp.arange(left), jnp.arange(n - right, n)]
+            )
+            perm = jnp.concatenate([a_idx, b_idx])
+            g = self.event_permute(perm)
         n_a = n - n_b
         P_aa = g.precision[..., :n_a, :n_a]
         P_ab = g.precision[..., :n_a, n_a:]
@@ -358,23 +361,51 @@ def matrix_and_mvn_to_gaussian(matrix, mvn) -> Gaussian:
 
 def gaussian_tensordot(x: Gaussian, y: Gaussian, dims: int = 0) -> Gaussian:
     """Contract the last ``dims`` of x with the first ``dims`` of y
-    (ref ``ops/gaussian.py:510``)."""
+    (ref ``ops/gaussian.py:510``).
+
+    The joint is assembled *directly* in ``(a, c, b)`` block order by
+    concatenation so no event permutation (an HBM-bound gather over the
+    full joint precision) is needed; ``marginalize(right=...)`` then
+    eliminates the shared block in place.  On the parallel-scan HMM path
+    this removes two full-matrix gathers per combine.
+    """
     na = x.dim - dims
     nb = dims
     nc = y.dim - dims
-    joint = x.event_pad(right=nc) + y.event_pad(left=na)
     if nb == 0:
-        return joint
-    # marginalize the middle block: permute (a, c, b)
-    n = joint.dim
-    perm = jnp.concatenate(
+        return x.event_pad(right=nc) + y.event_pad(left=na)
+    batch = jnp.broadcast_shapes(x.batch_shape, y.batch_shape)
+    Px = jnp.broadcast_to(x.precision, batch + (x.dim, x.dim))
+    Py = jnp.broadcast_to(y.precision, batch + (y.dim, y.dim))
+    ix = jnp.broadcast_to(x.info_vec, batch + (x.dim,))
+    iy = jnp.broadcast_to(y.info_vec, batch + (y.dim,))
+    Paa = Px[..., :na, :na]
+    Pab = Px[..., :na, na:]
+    Pbb = Px[..., na:, na:] + Py[..., :nb, :nb]
+    Pbc = Py[..., :nb, nb:]
+    Pcc = Py[..., nb:, nb:]
+    z_ac = jnp.zeros(batch + (na, nc), Px.dtype)
+    row_a = jnp.concatenate([Paa, z_ac, Pab], axis=-1)
+    row_c = jnp.concatenate(
         [
-            jnp.arange(na),
-            jnp.arange(na + nb, n),
-            jnp.arange(na, na + nb),
-        ]
+            jnp.swapaxes(z_ac, -1, -2),
+            Pcc,
+            jnp.swapaxes(Pbc, -1, -2),
+        ],
+        axis=-1,
     )
-    return joint.event_permute(perm).marginalize(right=nb)
+    row_b = jnp.concatenate(
+        [jnp.swapaxes(Pab, -1, -2), Pbc, Pbb], axis=-1
+    )
+    precision = jnp.concatenate([row_a, row_c, row_b], axis=-2)
+    info_vec = jnp.concatenate(
+        [ix[..., :na], iy[..., nb:], ix[..., na:] + iy[..., :nb]],
+        axis=-1,
+    )
+    joint = Gaussian(
+        x.log_normalizer + y.log_normalizer, info_vec, precision
+    )
+    return joint.marginalize(right=nb)
 
 
 def sequential_gaussian_tensordot(gaussian: Gaussian) -> Gaussian:
