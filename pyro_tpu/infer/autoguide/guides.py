@@ -166,15 +166,16 @@ class AutoDelta(AutoGuide):
             self._setup_prototype(*args, **kwargs)
         plates = self._create_plates(*args, **kwargs)
         result = {}
-        with ExitStack() as stack:
-            entered = {}
-            for name, site in self.prototype_trace.nodes.items():
-                if not _is_latent(site):
-                    continue
-                frames = self._prototype_frames[name]
+        for name, site in self.prototype_trace.nodes.items():
+            if not _is_latent(site):
+                continue
+            frames = self._prototype_frames[name]
+            # per-site plate stack (ref ``guides.py:319``): entering
+            # cumulatively would drag later non-plated sites into
+            # earlier sites' plates
+            with ExitStack() as stack:
                 for f in frames:
-                    if f.name not in entered:
-                        entered[f.name] = stack.enter_context(plates[f.name])
+                    stack.enter_context(plates[f.name])
                 # store the full-size value; plate gathers rows on access
                 init = _expand_init_to_full(
                     jnp.asarray(self.init_loc_fn(site)),
@@ -244,15 +245,15 @@ class AutoNormal(AutoGuide):
             self._setup_prototype(*args, **kwargs)
         plates = self._create_plates(*args, **kwargs)
         result = {}
-        with ExitStack() as stack:
-            entered = set()
-            for name, site in self.prototype_trace.nodes.items():
-                if not _is_latent(site):
-                    continue
+        for name, site in self.prototype_trace.nodes.items():
+            if not _is_latent(site):
+                continue
+            # per-site plate stack (ref ``guides.py:415``): entering
+            # cumulatively would drag later non-plated sites into
+            # earlier sites' plates
+            with ExitStack() as stack:
                 for f in self._prototype_frames[name]:
-                    if f.name not in entered:
-                        stack.enter_context(plates[f.name])
-                        entered.add(f.name)
+                    stack.enter_context(plates[f.name])
                 t = self._transforms[name]
                 event_dim = self._event_dims[name]
                 init_loc = _expand_init_to_full(

@@ -194,3 +194,26 @@ def test_autogaussian_runs():
         svi.step(DATA)
     med = guide.median()
     assert np.allclose(np.asarray(med["loc"]), POST_LOC, atol=0.25)
+
+
+@pytest.mark.parametrize("Guide", [None])
+def test_plated_site_before_unplated_site(Guide):
+    """Regression: a plated site sampled BEFORE an unplated one must not
+    drag the later site into its plate (per-site plate stacks,
+    ref guides.py:319/415)."""
+    from pyro_tpu import poutine
+    from pyro_tpu.infer.autoguide import AutoDelta, AutoNormal
+
+    def model():
+        with pyro.plate("p", 3):
+            a = pyro.sample("a", dist.Normal(0.0, 1.0))
+        b = pyro.sample("b", dist.Normal(0.0, 1.0))
+        pyro.sample("obs", dist.Normal(a.sum() + b, 1.0), obs=jnp.asarray(0.5))
+
+    for cls in (AutoNormal, AutoDelta):
+        pyro.clear_param_store()
+        guide = cls(model)
+        tr = poutine.trace(poutine.seed(guide, 0)).get_trace()
+        assert jnp.shape(tr.nodes["a"]["value"]) == (3,), cls.__name__
+        assert jnp.shape(tr.nodes["b"]["value"]) == (), cls.__name__
+        assert tr.nodes["b"]["cond_indep_stack"] == (), cls.__name__
