@@ -66,6 +66,11 @@ class CompartmentalModel:
     def transition(self, params, state: Dict, t: int) -> Dict:
         raise NotImplementedError
 
+    def finalize(self, params, prev: Dict, curr: Dict) -> None:
+        """Optional likelihood over the full (approximate) time series,
+        called once after all transitions (ref ``compartmental.py:297``).
+        Must not contain latent ``pyro.sample`` statements."""
+
     # -- inference ---------------------------------------------------------------
     def _model(self, forecast: int = 0):
         from .distributions import set_relaxed_distributions
@@ -76,12 +81,36 @@ class CompartmentalModel:
                 k: jnp.asarray(v, jnp.result_type(float))
                 for k, v in self.initialize(params).items()
             }
+            prev_series = {n: [] for n in self.approximate}
+            curr_series = {n: [] for n in self.approximate}
             for t in pyro.markov(range(self.duration + forecast)):
                 state = dict(state)
+                # in sequential/relaxed execution the exact values stand
+                # in for the approximate proxies (ref ``:234``)
+                for name in self.approximate:
+                    state[name + "_approx"] = state[name]
+                    prev_series[name].append(state[name])
                 self._t = t
                 state = self.transition(params, state, t) or state
+                for name in self.approximate:
+                    curr_series[name].append(state[name])
                 for name in self.compartments:
                     pyro.deterministic(f"{name}_{t}", state[name])
+            if self.approximate:
+                time_axis = -1 - len(
+                    jnp.shape(jnp.asarray(self.population))
+                )
+                self.finalize(
+                    params,
+                    {
+                        n: jnp.stack(v, axis=time_axis)
+                        for n, v in prev_series.items()
+                    },
+                    {
+                        n: jnp.stack(v, axis=time_axis)
+                        for n, v in curr_series.items()
+                    },
+                )
         return params
 
     def generate(self, fixed=None, rng_key=None) -> Dict:
@@ -147,47 +176,54 @@ class CompartmentalModel:
         a (Q^C x Q^C) matrix per time step, and time is eliminated
         exactly by an O(log T) ``_sequential_logmatmulexp`` chain —
         parallel-scan tensor variable elimination on the MXU.
+
+        Regional models enumerate each region's compartments locally and
+        couple regions through the non-enumerated ``*_approx`` proxies
+        (the auxiliary point values), mirroring the reference's
+        poor-man's tensor variable elimination; the final chain reduction
+        is batched over the region axis.
         """
         import functools
         import operator
 
+        from jax.scipy.special import logsumexp
+
         from ...distributions.hmm import _sequential_logmatmulexp
         from .util import quantize_enumerate
 
-        if self.is_regional:
-            raise NotImplementedError(
-                "quantized enumeration currently supports scalar-"
-                "population models; regional models use the relaxed mode"
-            )
         C = len(self.compartments)
         T = self.duration
         Q = self.num_quant_bins
         pop = jnp.asarray(self.population, jnp.result_type(float))
+        R_shape = tuple(pop.shape) if self.is_regional else ()
+        n_plates = 1 + len(R_shape)  # time (+ region)
 
         params = self.global_model()
         auxiliary = pyro.sample(
             "auxiliary",
             dist.Uniform(-0.5, pop + 0.5)
             .mask(False)
-            .expand((C, T))
-            .to_event(2),
+            .expand((C, T) + R_shape)
+            .to_event(2 + len(R_shape)),
         )
-        # (C, T, Q) enumerated integer values and their spline logits
+        # (C, T[, R], Q) enumerated integer values and their spline logits
         curr_q, logp_q = quantize_enumerate(
             auxiliary, 0.0, pop, num_quant_bins=Q
         )
 
         def enum_reshape(x, position):
-            # (T, Q) -> Q at axis -(2 + position), time at axis -1
+            # (T[, R], Q) -> Q at axis -(n_plates + 1 + position),
+            # plate dims (time[, region]) rightmost
             x = jnp.moveaxis(x, -1, 0)
-            return x.reshape((Q,) + (1,) * position + (T,))
+            return x.reshape((Q,) + (1,) * position + (T,) + R_shape)
 
         init = self.initialize(params)
         curr, prev, logp = {}, {}, {}
         for e, name in enumerate(self.compartments):
-            vals = curr_q[e]  # (T, Q)
+            vals = curr_q[e]  # (T[, R], Q)
             init_v = jnp.broadcast_to(
-                jnp.asarray(init[name], vals.dtype), (1, Q)
+                jnp.asarray(init[name], vals.dtype)[..., None],
+                (1,) + R_shape + (Q,),
             )
             prev_vals = jnp.concatenate([init_v, vals[:-1]], 0)
             curr[name] = enum_reshape(vals, e)
@@ -197,23 +233,30 @@ class CompartmentalModel:
         # (ref :1049-1056)
         for name in self.approximate:
             aux_c = auxiliary[self.compartments.index(name)]
+            init_a = jnp.reshape(
+                jnp.broadcast_to(
+                    jnp.asarray(init[name], aux_c.dtype), R_shape
+                ),
+                (1,) + R_shape,
+            )
             curr[name + "_approx"] = aux_c
             prev[name + "_approx"] = jnp.concatenate(
-                [
-                    jnp.reshape(
-                        jnp.asarray(init[name], aux_c.dtype), (1,)
-                    ),
-                    aux_c[:-1],
-                ]
+                [init_a, aux_c[:-1]], 0
             )
 
         # record transition factors, vectorized over time (ref :1058-1075)
         t = slice(0, T, 1)
         cond_data = {f"{k}_{t}": v for k, v in curr.items()}
+        if not hasattr(self, "compute_flows"):
+            raise NotImplementedError(
+                f"{type(self).__name__} does not define compute_flows(); "
+                "quantized enumeration requires it — use the relaxed "
+                "mode (num_quant_bins=1)"
+            )
         cond_data.update(self.compute_flows(prev, curr, t))
         with poutine.block():
             with poutine.trace() as tr:
-                with pyro.plate("time", T, dim=-1):
+                with pyro.plate("time", T, dim=-n_plates):
                     with poutine.condition(data=cond_data):
                         state = dict(prev)
                         self.transition(params, state, t)
@@ -224,22 +267,51 @@ class CompartmentalModel:
                 site["fn"]
             ).__name__ == "_Subsample":
                 continue
+            if not site["is_observed"] and name not in cond_data:
+                # e.g. HeterogeneousSIRModel's drift series: the
+                # reference routes these through its non-compartmental
+                # auxiliary machinery; unsupported here
+                raise NotImplementedError(
+                    f"latent site {name!r} inside transition() is not "
+                    "supported by quantized enumeration; use the "
+                    "relaxed mode (num_quant_bins=1) for models with "
+                    "non-compartmental time-varying latents"
+                )
             lp = site["log_prob"]
-            if jnp.ndim(lp) <= 1:  # not enumerated
+            if jnp.ndim(lp) <= n_plates:  # not enumerated
                 pyro.factor("transition_" + name, jnp.sum(lp))
-            else:
-                logp[name] = lp
+                continue
+            if self.is_regional and lp.shape[-1:] != R_shape:
+                # poor man's tensor variable elimination (ref :1070-1074):
+                # spread a region-less factor uniformly over regions
+                lp = (
+                    jnp.broadcast_to(lp, lp.shape[:-1] + R_shape)
+                    / R_shape[0]
+                )
+            logp[name] = lp
 
         # manual variable elimination over time (ref :1077-1086)
         total = functools.reduce(operator.add, logp.values())
-        total = jnp.broadcast_to(total, (Q,) * (2 * C) + (T,))
-        total = total.reshape(Q**C, Q**C, T)
-        total = jnp.moveaxis(total, -1, 0)  # (T, prev, curr)
-        total = _sequential_logmatmulexp(total)  # (prev, curr)
-        from jax.scipy.special import logsumexp
-
-        logp_total = logsumexp(total)
+        total = jnp.broadcast_to(
+            total, (Q,) * (2 * C) + (T,) + R_shape
+        )
+        total = total.reshape((Q**C, Q**C, T) + R_shape)
+        if self.is_regional:
+            total = jnp.transpose(total, (3, 2, 0, 1))  # (R, T, p, c)
+        else:
+            total = jnp.moveaxis(total, -1, 0)  # (T, p, c)
+        total = _sequential_logmatmulexp(total)  # ([R,] p, c)
+        logp_total = jnp.sum(logsumexp(total, axis=(-2, -1)))
         pyro.factor("transition", logp_total)
+
+        # final likelihood over approximate proxies (ref :1088-1092)
+        prev_f = {
+            name: prev[name + "_approx"] for name in self.approximate
+        }
+        curr_f = {
+            name: curr[name + "_approx"] for name in self.approximate
+        }
+        self.finalize(params, prev_f, curr_f)
         return params
 
     def _heuristic_init(self, num_steps: int, learning_rate: float):

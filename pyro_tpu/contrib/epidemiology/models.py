@@ -470,8 +470,15 @@ class RegionalSIRModel(CompartmentalModel):
 
     def transition(self, params, state, t):
         R0, tau, rho = params
-        # couple infectious counts across regions
-        I_coupled = state["I"] @ self.coupling
+        # Couple infectious counts across regions: cross-region terms use
+        # the non-enumerated point estimate I_approx, own-region uses the
+        # exact (possibly enumerated) count (ref ``models.py:1085-1090``)
+        I_approx = state.get("I_approx", state["I"])
+        I_coupled = I_approx @ self.coupling
+        I_coupled = I_coupled + (state["I"] - I_approx) * jnp.diagonal(
+            self.coupling
+        )
+        I_coupled = jnp.clip(I_coupled, 0.0)
         pop_coupled = self.population @ self.coupling
         with self.region_plate:
             S2I = pyro.sample(
@@ -497,6 +504,11 @@ class RegionalSIRModel(CompartmentalModel):
             "S": state["S"] - S2I,
             "I": state["I"] + S2I - I2R,
         }
+
+    def compute_flows(self, prev, curr, t):
+        S2I = prev["S"] - curr["S"]
+        I2R = prev["I"] - curr["I"] + S2I
+        return {f"S2I_{t}": S2I, f"I2R_{t}": I2R}
 
 
 class SparseSIRModel(CompartmentalModel):
@@ -771,7 +783,12 @@ class HeterogeneousRegionalSIRModel(CompartmentalModel):
 
     def transition(self, params, state, t):
         tau, R0, R_drift, rho0, rho_drift = params
-        I_coupled = jnp.clip(state["I"] @ self.coupling, 0.0)
+        I_approx = state.get("I_approx", state["I"])
+        I_coupled = I_approx @ self.coupling
+        I_coupled = I_coupled + (state["I"] - I_approx) * jnp.diagonal(
+            self.coupling
+        )
+        I_coupled = jnp.clip(I_coupled, 0.0)
         pop_coupled = self.population @ self.coupling
 
         R_factor = pyro.sample(

@@ -334,3 +334,57 @@ def test_quantize_enumerate_mass_preserving():
     assert vals.shape == (3, 4) and logits.shape == (3, 4)
     mean = (vals * jnp.exp(logits)).sum(-1)
     assert np.allclose(np.asarray(mean), np.asarray(x), atol=0.55)
+
+
+@pytest.mark.stage("integration")
+def test_regional_quantized_mcmc_smoke():
+    """Regional quantized enumeration (ref ``compartmental.py:1000``
+    regional branch): per-region local enumeration, cross-region coupling
+    through the auxiliary proxies, region-batched chain reduction."""
+    from pyro_tpu.contrib.epidemiology import RegionalSIRModel
+
+    T, R = 8, 2
+    population = jnp.asarray([300.0, 200.0])
+    coupling = jnp.asarray([[0.9, 0.1], [0.1, 0.9]])
+    ext = RegionalSIRModel(population, coupling, 4.0, jnp.zeros((T, R)))
+    for seed in range(20):
+        s = ext.generate(
+            {"R0": 1.8, "rho": jnp.asarray([0.6, 0.6])},
+            rng_key=jax.random.key(seed),
+        )
+        obs = jnp.stack([s[f"obs_{t}"] for t in range(T)])
+        if float(obs.sum()) > 3:
+            break
+    assert float(obs.sum()) > 3
+    m = RegionalSIRModel(population, coupling, 4.0, obs)
+    m.fit_mcmc(
+        num_quant_bins=4,
+        num_samples=50,
+        warmup_steps=50,
+        heuristic_num_steps=50,
+        max_tree_depth=4,
+        rng_key=jax.random.key(0),
+    )
+    r0 = np.asarray(m.samples["R0"]).reshape(-1)
+    assert np.isfinite(r0).all()
+    assert 0.3 < np.median(r0) < 5.0, np.median(r0)
+
+
+def test_heterogeneous_quantized_raises():
+    """Models with non-compartmental latents in transition() must fail
+    loudly in quantized mode, not silently mis-sample."""
+    from pyro_tpu.contrib.epidemiology import HeterogeneousRegionalSIRModel
+
+    rng = np.random.RandomState(0)
+    population = jnp.asarray([300.0, 200.0])
+    coupling = jnp.asarray([[0.9, 0.1], [0.1, 0.9]])
+    data = jnp.asarray(rng.poisson(3.0, size=(6, 2)), jnp.float32)
+    m = HeterogeneousRegionalSIRModel(population, coupling, 4.0, data)
+    with pytest.raises(NotImplementedError):
+        m.fit_mcmc(
+            num_quant_bins=4,
+            num_samples=5,
+            warmup_steps=5,
+            heuristic_num_steps=5,
+            rng_key=jax.random.key(0),
+        )
