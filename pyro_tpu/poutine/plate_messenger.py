@@ -98,16 +98,32 @@ class PlateMessenger(Messenger):
 
     # -- subsampling --------------------------------------------------------
     def _subsample_site(self):
-        """Draw (or pass through) subsample indices via a sample site."""
+        """Draw (or pass through) subsample indices via a sample site.
+
+        The site is registered even for full-size plates so traces
+        record the plate and duplicate plate names collide exactly as in
+        the reference ("Multiple sample sites named ...",
+        ref ``subsample_messenger.py:74``)."""
         if self._given_subsample is not None:
+            if (
+                self.subsample_size is not None
+                and len(self._given_subsample) != self.subsample_size
+            ):
+                raise ValueError(
+                    f"subsample_size does not match len(subsample), "
+                    f"{self.subsample_size} vs {len(self._given_subsample)}"
+                )
             return jnp.asarray(self._given_subsample)
-        if self.subsample_size >= self.size:
-            if am_i_wrapped():
-                # still register the site so traces record the plate
-                pass
-            return jnp.arange(self.size)
+        if self.subsample_size > self.size >= 0:
+            raise ValueError(
+                f"subsample_size {self.subsample_size} exceeds plate "
+                f"size {self.size} for plate '{self.name}'"
+            )
         fn = _Subsample(self.size, self.subsample_size)
+        full_size = self.subsample_size >= self.size
         if not am_i_wrapped():
+            if full_size:
+                return jnp.arange(self.size)
             from .runtime import _next_eager_key
 
             return fn.sample(_next_eager_key())
@@ -117,6 +133,10 @@ class PlateMessenger(Messenger):
             fn,
             (),
             {"sample_shape": ()},
+            # full-size plates are deterministic: pre-set the value so no
+            # rng key is drawn (keys are tracers under jit; consuming the
+            # global eager key there would leak a tracer)
+            value=jnp.arange(self.size) if full_size else None,
             infer={"_do_not_trace": True, "_do_not_score": True, "is_auxiliary": True},
         )
         msg["scale"] = 1.0
@@ -137,10 +157,18 @@ class PlateMessenger(Messenger):
                 "manager"
             )
         self._allocated_dim = _DIM_ALLOCATOR.allocate(self.name, self.dim)
-        self._indices = None
-        super().__enter__()
-        ind = self.indices
-        return ind
+        # NOTE: indices are sampled once per plate *object* (cached in
+        # self._indices, ref ``subsample_messenger.py.__init__``), so a
+        # reused plate re-enters without re-registering its site
+        try:
+            super().__enter__()
+            return self.indices
+        except Exception:
+            # release allocator + stack state so a failed enter does not
+            # poison later executions (the with-block's __exit__ never
+            # runs when __enter__ raises)
+            self.__exit__(None, None, None)
+            raise
 
     def __exit__(self, *args):
         _DIM_ALLOCATOR.free(self.name, self._allocated_dim)

@@ -274,3 +274,170 @@ def test_vectorized_num_particles_ok():
         guide,
         Trace_ELBO(num_particles=7, vectorize_particles=True),
     )
+
+
+@pytest.mark.parametrize("Elbo", ELBOS)
+def test_plate_size_mismatch_model_guide_error(Elbo):
+    """Same plate name, different sizes in model vs guide."""
+
+    def model():
+        with pyro.plate("data", 4):
+            pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    def guide():
+        with pyro.plate("data", 5):
+            pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    assert_error(model, guide, Elbo())
+
+
+def test_subsample_larger_than_size_error():
+    def model():
+        with pyro.plate("data", 4, subsample_size=10):
+            pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    assert_error(model, lambda: None, Trace_ELBO())
+
+
+def test_same_name_two_plates_same_trace_error():
+    def model():
+        with pyro.plate("p", 3):
+            pyro.sample("a", dist.Normal(0.0, 1.0))
+        with pyro.plate("p", 4):
+            pyro.sample("b", dist.Normal(0.0, 1.0))
+
+    assert_error(model, lambda: None, Trace_ELBO())
+
+
+@pytest.mark.parametrize("Elbo", ELBOS)
+def test_mask_wrong_shape_error(Elbo):
+    def model():
+        with pyro.plate("data", 4):
+            with pyro.poutine.mask(mask=jnp.ones(3, bool)):
+                pyro.sample(
+                    "z", dist.Normal(jnp.zeros(4), 1.0)
+                )
+
+    assert_error(model, lambda: None, Elbo())
+
+
+@pytest.mark.parametrize("Elbo", ELBOS)
+def test_to_event_ok(Elbo):
+    def model():
+        pyro.sample(
+            "z", dist.Normal(jnp.zeros((2, 3)), 1.0).to_event(2)
+        )
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros((2, 3)))
+        pyro.sample("z", dist.Normal(loc, 1.0).to_event(2))
+
+    assert_ok(model, guide, Elbo())
+
+
+@pytest.mark.parametrize("Elbo", ELBOS)
+def test_factor_and_deterministic_ok(Elbo):
+    def model():
+        z = pyro.sample("z", dist.Normal(0.0, 1.0))
+        pyro.deterministic("z2", z * z)
+        pyro.factor("penalty", -0.5 * z * z)
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros(()))
+        pyro.sample("z", dist.Normal(loc, 1.0))
+
+    assert_ok(model, guide, Elbo())
+
+
+def test_scale_handler_ok():
+    def model():
+        with pyro.poutine.scale(scale=0.5):
+            pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros(()))
+        with pyro.poutine.scale(scale=0.5):
+            pyro.sample("z", dist.Normal(loc, 1.0))
+
+    assert_ok(model, guide, Trace_ELBO())
+
+
+def test_enum_in_model_without_traceenum_warns_or_errors():
+    """Model-side infer={'enumerate': ...} under plain Trace_ELBO must
+    not silently sample (the reference warns)."""
+
+    def model():
+        pyro.sample(
+            "z",
+            dist.Bernoulli(0.5),
+            infer={"enumerate": "parallel"},
+        )
+
+    def guide():
+        q = pyro.param("q", jnp.asarray(0.5))
+        pyro.sample("z", dist.Bernoulli(q))
+
+    import warnings as _w
+
+    pyro.clear_param_store()
+    with _w.catch_warnings(record=True):
+        _w.simplefilter("always")
+        # either path is acceptable: a warning or an error; silent
+        # wrong answers are not
+        try:
+            SVI(model, guide, Adam({"lr": 1e-6}), Trace_ELBO()).step()
+        except (ValueError, RuntimeError, NotImplementedError):
+            pass
+
+
+@pytest.mark.parametrize("Elbo", ELBOS)
+def test_obs_inside_smaller_plate_error(Elbo):
+    """Observation whose batch exceeds its plate size."""
+
+    def model():
+        with pyro.plate("data", 3):
+            pyro.sample(
+                "obs",
+                dist.Normal(0.0, 1.0),
+                obs=jnp.zeros(5),
+            )
+
+    assert_error(model, lambda: None, Elbo())
+
+
+def test_nested_plate_reuse_ok():
+    """The same plate object reused across contexts (reentrant)."""
+
+    def model():
+        p = pyro.plate("data", 3, dim=-1)
+        with p:
+            pyro.sample("a", dist.Normal(0.0, 1.0))
+        with p:
+            pyro.sample("b", dist.Normal(0.0, 1.0))
+
+    def guide():
+        p = pyro.plate("data", 3, dim=-1)
+        loc = pyro.param("loc", jnp.zeros(3))
+        with p:
+            pyro.sample("a", dist.Normal(loc, 1.0))
+        with p:
+            pyro.sample("b", dist.Normal(loc, 1.0))
+
+    assert_ok(model, guide, Trace_ELBO())
+
+
+def test_param_reregister_returns_existing_ok():
+    """Re-registering a param with a different init returns the existing
+    value (first registration wins — reference behavior, no error)."""
+
+    def model():
+        w = pyro.param("w", jnp.zeros(3))
+        pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    def guide():
+        # guide runs first in an SVI step, so "w" registers as (4,)
+        w = pyro.param("w", jnp.zeros(4))
+        pyro.sample("z", dist.Normal(0.0, 1.0))
+
+    assert_ok(model, guide, Trace_ELBO())
+    assert pyro.param("w").shape == (4,)
