@@ -264,8 +264,19 @@ class GaussianHMM(HiddenMarkovModel):
         result = self._trans + self._obs.condition(value).event_pad(
             left=self.hidden_dim
         )
-        result = result.expand(result.batch_shape)
-        result = sequential_gaussian_tensordot(result)
+        if result.precision.ndim == 2:
+            # time-invariant transition/observation parameters: the data
+            # enters only the info vectors, so every time step shares one
+            # precision matrix — use the homogeneous fast path (one
+            # factorization per halving level instead of a batched one)
+            from ..ops.gaussian import (
+                sequential_gaussian_tensordot_homogeneous,
+            )
+
+            result = sequential_gaussian_tensordot_homogeneous(result)
+        else:
+            result = result.expand(result.batch_shape)
+            result = sequential_gaussian_tensordot(result)
         result = gaussian_tensordot(self._init, result, dims=self.hidden_dim)
         return result.event_logsumexp()
 

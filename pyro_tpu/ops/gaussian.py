@@ -408,6 +408,91 @@ def gaussian_tensordot(x: Gaussian, y: Gaussian, dims: int = 0) -> Gaussian:
     return joint.marginalize(right=nb)
 
 
+def sequential_gaussian_tensordot_homogeneous(
+    gaussian: Gaussian,
+) -> Gaussian:
+    """Markov-chain contraction specialized for *time-homogeneous*
+    chains: every factor along the trailing time axis shares ONE
+    precision matrix (only info vectors / log normalizers vary — the
+    case for ``GaussianHMM.log_prob`` with time-invariant transition and
+    observation parameters, where the data enters only the info side).
+
+    Each halving level then needs a single (n x n) Cholesky and one
+    shared coupling solve, with only O(T * n^2) batched vector work —
+    versus the general path's batched (96 x 96)-joint eliminations.  On
+    TPU this removes the dominant batched Cholesky/solve cost at the
+    wide early levels.
+
+    Requires ``gaussian.precision.ndim == 2`` (shared across batch AND
+    time) and interprets the trailing batch axis as time.  Time is
+    decomposed into maximal power-of-two blocks (each reduces with
+    exactly-even levels, preserving homogeneity); block results are
+    folded left-to-right with the general ``gaussian_tensordot``.
+    """
+    assert gaussian.precision.ndim == 2
+    two_n = gaussian.dim
+    assert two_n % 2 == 0
+    n = two_n // 2
+    T = gaussian.batch_shape[-1]
+    P = gaussian.precision
+    info = jnp.broadcast_to(
+        gaussian.info_vec, gaussian.batch_shape + (two_n,)
+    )
+    logZ = jnp.broadcast_to(gaussian.log_normalizer, gaussian.batch_shape)
+
+    def reduce_pow2_block(P, info, logZ):
+        # info: (..., B, 2n) with B a power of two; returns shared P'
+        # of the fully reduced block plus per-batch info/logZ
+        while info.shape[-2] > 1:
+            A = P[:n, :n]
+            B = P[:n, n:]
+            D = P[n:, n:]
+            J_bb = D + A
+            L = jnp.linalg.cholesky(J_bb)
+            # coupling (a, c) <- b:  C = [[B], [B^T]]  (2n, n)
+            C = jnp.concatenate([B, B.T], axis=0)
+            Kt = _tri_solve(L, C.T)  # (n, 2n) = L^{-1} C^T
+            diag = jnp.zeros((two_n, two_n), P.dtype)
+            diag = diag.at[:n, :n].set(A).at[n:, n:].set(D)
+            P = diag - Kt.T @ Kt
+            i1 = info[..., 0::2, :]
+            i2 = info[..., 1::2, :]
+            ib = i1[..., n:] + i2[..., :n]
+            s = _tri_solve(L, ib[..., None])[..., 0]
+            outer = jnp.concatenate(
+                [i1[..., :n], i2[..., n:]], axis=-1
+            )
+            info = outer - s @ Kt
+            logZ = (
+                logZ[..., 0::2]
+                + logZ[..., 1::2]
+                + 0.5 * n * math.log(2 * math.pi)
+                - jnp.sum(jnp.log(jnp.diagonal(L)))
+                + 0.5 * jnp.sum(s * s, axis=-1)
+            )
+        return Gaussian(logZ[..., 0], info[..., 0, :], P)
+
+    # decompose T into maximal power-of-two blocks, in time order
+    blocks = []
+    start = 0
+    remaining = T
+    while remaining > 0:
+        size = 1 << (remaining.bit_length() - 1)
+        blocks.append(
+            reduce_pow2_block(
+                P,
+                info[..., start : start + size, :],
+                logZ[..., start : start + size],
+            )
+        )
+        start += size
+        remaining -= size
+    result = blocks[0]
+    for g in blocks[1:]:
+        result = gaussian_tensordot(result, g, dims=n)
+    return result
+
+
 def sequential_gaussian_tensordot(gaussian: Gaussian) -> Gaussian:
     """Integrate a Markov product of T conditionals over shared state.
 

@@ -282,3 +282,63 @@ def test_gaussian_mrf_logprob_finite():
     d = dist.GaussianMRF(init, trans, obs, duration=T)
     value = jax.random.normal(KEY, (T, obs_d))
     assert np.isfinite(float(d.log_prob(value)))
+
+
+def test_homogeneous_chain_reduce_matches_general():
+    """The shared-precision fast path must agree with the general
+    pairwise contraction for every T shape class (1, odd, even, pow2,
+    mixed-binary) and batched values."""
+    import pyro_tpu.distributions as dist
+    from pyro_tpu.ops.gaussian import (
+        gaussian_tensordot,
+        sequential_gaussian_tensordot,
+    )
+
+    H, O = 3, 2
+    k = jax.random.split(jax.random.key(7), 4)
+    init = dist.Normal(jnp.zeros(H), 1.0).to_event(1)
+    tm = 0.8 * jnp.eye(H) + 0.1 * jax.random.normal(k[0], (H, H))
+    trans = dist.Normal(jnp.zeros(H), 0.5).to_event(1)
+    om = jax.random.normal(k[1], (H, O))
+    obs = dist.Normal(jnp.zeros(O), 0.7).to_event(1)
+    for T in [1, 2, 3, 5, 8, 13, 64, 100]:
+        hmm = dist.GaussianHMM(init, tm, trans, om, obs, duration=T)
+        data = jax.random.normal(k[2], (T, O))
+        lp_fast = float(hmm.log_prob(data))
+        result = hmm._trans + hmm._obs.condition(data).event_pad(left=H)
+        assert result.precision.ndim == 2  # fast path is active
+        result = result.expand(result.batch_shape)
+        r = sequential_gaussian_tensordot(result)
+        r = gaussian_tensordot(hmm._init, r, dims=H)
+        lp_ref = float(r.event_logsumexp())
+        assert abs(lp_fast - lp_ref) < 1e-3 * max(1.0, abs(lp_ref)), (
+            T,
+            lp_fast,
+            lp_ref,
+        )
+    # batched observations share the single precision
+    hmm = dist.GaussianHMM(init, tm, trans, om, obs, duration=13)
+    data = jax.random.normal(k[3], (4, 13, O))
+    lp = hmm.log_prob(data)
+    for i in range(4):
+        assert abs(float(lp[i]) - float(hmm.log_prob(data[i]))) < 1e-3
+
+
+def test_time_varying_params_use_general_path():
+    """Time-varying transition matrices must NOT take the homogeneous
+    shortcut (and must still be correct)."""
+    import pyro_tpu.distributions as dist
+
+    H, O, T = 2, 2, 6
+    k = jax.random.split(jax.random.key(9), 4)
+    init = dist.Normal(jnp.zeros(H), 1.0).to_event(1)
+    tms = 0.8 * jnp.eye(H) + 0.1 * jax.random.normal(k[0], (T, H, H))
+    trans = dist.Normal(jnp.zeros(H), 0.5).to_event(1)
+    om = jax.random.normal(k[1], (H, O))
+    obs = dist.Normal(jnp.zeros(O), 0.7).to_event(1)
+    hmm = dist.GaussianHMM(init, tms, trans, om, obs, duration=T)
+    data = jax.random.normal(k[2], (T, O))
+    result = hmm._trans + hmm._obs.condition(data).event_pad(left=H)
+    assert result.precision.ndim > 2  # general path
+    lp = float(hmm.log_prob(data))
+    assert np.isfinite(lp)
