@@ -75,6 +75,9 @@ def model(sequences):
     )
     emitter = flax_module("emitter", Emitter(), jnp.zeros((1, Z_DIM)))
     z_prev = jnp.zeros((B, Z_DIM))
+    # hoist the plate out of the time loop: one plate object per trace
+    # (a fresh plate per step would collide, as in the reference)
+    tones_plate = pyro.plate("tones", X_DIM, dim=-1)
     with pyro.plate("sequences", B, dim=-2):
         for t in pyro.markov(range(T)):
             loc, scale = trans(z_prev)
@@ -83,7 +86,7 @@ def model(sequences):
                 dist.Normal(loc, scale).to_event(1),
             )
             logits = emitter(z)
-            with pyro.plate("tones", X_DIM, dim=-1):
+            with tones_plate:
                 pyro.sample(
                     f"x_{t}",
                     dist.Bernoulli(logits=logits),

@@ -51,10 +51,17 @@ class CompartmentalModel:
     @property
     def region_plate(self):
         """Plate over regions for vector-population models
-        (ref ``compartmental.py:170``)."""
+        (ref ``compartmental.py:194-204``).  Cached per model execution:
+        every transition step must reuse ONE plate object, else the
+        per-step plates collide in the trace."""
         assert self.is_regional
-        n = jnp.shape(jnp.asarray(self.population))[0]
-        return pyro.plate("region", n, dim=-1)
+        if getattr(self, "_region_plate", None) is None:
+            n = jnp.shape(jnp.asarray(self.population))[0]
+            self._region_plate = pyro.plate("region", n, dim=-1)
+        return self._region_plate
+
+    def _clear_plates(self):
+        self._region_plate = None
 
     # -- to implement ----------------------------------------------------------
     def global_model(self):
@@ -75,6 +82,7 @@ class CompartmentalModel:
     def _model(self, forecast: int = 0):
         from .distributions import set_relaxed_distributions
 
+        self._clear_plates()
         with set_relaxed_distributions(self.relaxed):
             params = self.global_model()
             state = {
@@ -191,6 +199,7 @@ class CompartmentalModel:
         from ...distributions.hmm import _sequential_logmatmulexp
         from .util import quantize_enumerate
 
+        self._clear_plates()
         C = len(self.compartments)
         T = self.duration
         Q = self.num_quant_bins
