@@ -106,6 +106,7 @@ CPU_EXAMPLES = [
         ["--num-steps=10"],
     ),
     ("vae.py", ["--num-epochs=1", "--num-batches=2", "--batch-size=32"]),
+    ("vae_comparison.py", ["--num-steps=30", "--batch-size=64"]),
 ]
 
 
