@@ -82,6 +82,7 @@ CPU_EXAMPLES = [
     ("rsa/hyperbole.py", ["--price=10000"]),
     ("rsa/schelling.py", ["--depth=2"]),
     ("rsa/schelling_false.py", ["--depth=2"]),
+    ("rsa/semantic_parsing.py", ["-n=5"]),
     ("scanvi.py", ["--num-epochs=1", "--num-data=200", "--batch-size=100"]),
     ("sir_hmc.py", ["--num-samples=20", "--warmup-steps=20", "--duration=6"]),
     ("smcfilter.py", ["--num-timesteps=5", "--num-particles=32"]),
