@@ -44,7 +44,7 @@ GHMM_T, GHMM_HIDDEN, GHMM_OBS = 10_000, 32, 4
 
 # NUTS settings
 NUTS_WARMUP, NUTS_SAMPLES = 500, 500
-NUTS_CHAINS_OURS = 128  # vmapped on one chip
+NUTS_CHAINS_OURS = 1024  # vmapped on one chip (nowhere near saturation at 128)
 NUTS_CHAINS_REF = 1  # reference runs chains in separate processes
 
 BASELINE_CACHE = os.path.join(

@@ -63,6 +63,58 @@ class CompartmentalModel:
     def _clear_plates(self):
         self._region_plate = None
 
+    @property
+    def _non_compartmental(self):
+        """name -> (per-step distribution, is_regional) for latent sites
+        in :meth:`transition` that are not compartmental flows (ref
+        ``compartmental.py:828-858``): e.g. Brownian-drift series in the
+        Heterogeneous* models.  Discovered by tracing one transition
+        step."""
+        if getattr(self, "_non_compartmental_cache", None) is None:
+            from collections import OrderedDict
+
+            from ...poutine.util import site_is_subsample
+
+            self._clear_plates()
+
+            def one_step():
+                params = self.global_model()
+                prev = {
+                    k: jnp.asarray(v, jnp.result_type(float))
+                    for k, v in self.initialize(params).items()
+                }
+                for name in self.approximate:
+                    prev[name + "_approx"] = prev[name]
+                curr = dict(prev)
+                self.transition(params, curr, 0)
+                return prev, curr, params
+
+            with poutine.block():
+                tr = poutine.trace(
+                    poutine.seed(one_step, rng_key=jax.random.key(0))
+                ).get_trace()
+                prev, curr, params = tr.nodes["_RETURN"]["value"]
+                flows = self.compute_flows(prev, curr, 0)
+            result = OrderedDict()
+            for name, site in tr.nodes.items():
+                if site["type"] != "sample" or site["is_observed"]:
+                    continue
+                if name in flows or site_is_subsample(site):
+                    continue
+                if site["infer"].get("_deterministic"):
+                    continue
+                if not name.endswith("_0"):
+                    continue
+                base = name[:-2]
+                is_regional = any(
+                    f.name == "region"
+                    for f in site["cond_indep_stack"]
+                )
+                result[base] = (site["fn"], is_regional)
+            self._non_compartmental_cache = result
+            self._clear_plates()
+        return self._non_compartmental_cache
+
     # -- to implement ----------------------------------------------------------
     def global_model(self):
         return None
@@ -77,6 +129,18 @@ class CompartmentalModel:
         """Optional likelihood over the full (approximate) time series,
         called once after all transitions (ref ``compartmental.py:297``).
         Must not contain latent ``pyro.sample`` statements."""
+
+    def compute_flows(self, prev: Dict, curr: Dict, t) -> Dict:
+        """Flows between compartments given populations before/after step
+        ``t``.  Default: sequential flows terminating in an implicit
+        ``R`` compartment (ref ``compartmental.py:322-344``)."""
+        flows = {}
+        flow = 0.0
+        names = self.compartments + ["R"]
+        for source, destin in zip(names[:-1], names[1:]):
+            flow = prev[source] - curr[source] + flow
+            flows[f"{source}2{destin}_{t}"] = flow
+        return flows
 
     # -- inference ---------------------------------------------------------------
     def _model(self, forecast: int = 0):
@@ -238,6 +302,30 @@ class CompartmentalModel:
             curr[name] = enum_reshape(vals, e)
             logp[name] = enum_reshape(logp_q[e], e)
             prev[name] = enum_reshape(prev_vals, C + e)
+        # non-compartmental time series (drift factors etc.): sampled as
+        # flat improper-uniform series scored only through the
+        # conditioned transition factors (ref :881-896)
+        for name, (fn, is_regional) in self._non_compartmental.items():
+            shape = (T,)
+            if self.is_regional:
+                shape = shape + (R_shape if is_regional else (1,))
+            series = pyro.sample(
+                name,
+                dist.ImproperUniform(
+                    fn.support, fn.batch_shape, fn.event_shape
+                )
+                .expand(shape)
+                .to_event(len(shape)),
+            )
+            init_nc = jnp.reshape(
+                jnp.broadcast_to(
+                    jnp.asarray(init[name], series.dtype), shape[1:]
+                ),
+                (1,) + shape[1:],
+            )
+            curr[name] = series
+            prev[name] = jnp.concatenate([init_nc, series[:-1]], 0)
+
         # non-enumerated proxies for approximate compartments
         # (ref :1049-1056)
         for name in self.approximate:
@@ -256,12 +344,6 @@ class CompartmentalModel:
         # record transition factors, vectorized over time (ref :1058-1075)
         t = slice(0, T, 1)
         cond_data = {f"{k}_{t}": v for k, v in curr.items()}
-        if not hasattr(self, "compute_flows"):
-            raise NotImplementedError(
-                f"{type(self).__name__} does not define compute_flows(); "
-                "quantized enumeration requires it — use the relaxed "
-                "mode (num_quant_bins=1)"
-            )
         cond_data.update(self.compute_flows(prev, curr, t))
         with poutine.block():
             with poutine.trace() as tr:
@@ -356,6 +438,18 @@ class CompartmentalModel:
                 )
                 series.append(jnp.clip(vals, 0.0, pop))
             init_values = {"auxiliary": jnp.stack(series)}
+            # non-compartmental drift series: stack the per-step values
+            # into the flat series shape declared by _quantized_model
+            for base, (fn, is_regional) in self._non_compartmental.items():
+                vals = jnp.stack(
+                    [
+                        jnp.asarray(tr.nodes[f"{base}_{t}"]["value"])
+                        for t in range(self.duration)
+                    ]
+                )
+                if self.is_regional and not is_regional:
+                    vals = vals.reshape(self.duration, 1)
+                init_values[base] = vals
             for name, value in median.items():
                 if not re.search(r"_\d+$", name):
                     init_values[name] = value

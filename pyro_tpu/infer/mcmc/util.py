@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import poutine
+from ...poutine.messenger import Messenger as _Messenger
 from ...distributions import constraints
 from ...distributions.transforms import biject_to
 from ...poutine.util import prune_subsample_sites, site_is_subsample
@@ -174,6 +175,22 @@ def _find_valid_initial_params(
     return unravel(flat), ok
 
 
+class _InitValuesMessenger(_Messenger):
+    """Set sample-site values without marking them observed."""
+
+    def __init__(self, data):
+        super().__init__()
+        self.data = data
+
+    def _pyro_sample(self, msg):
+        name = msg["name"]
+        if name in self.data and not msg["is_observed"]:
+            msg["value"] = jnp.asarray(
+                self.data[name], jnp.result_type(float)
+            )
+            msg["done"] = True
+
+
 def initialize_model(
     model,
     model_args=(),
@@ -193,13 +210,23 @@ def initialize_model(
     if rng_key is None:
         rng_key = jax.random.key(0)
     k_proto, k_init = jax.random.split(rng_key)
+    # inject known init values during the prototype trace so sites with
+    # unsampleable priors (ImproperUniform) never need to draw; unlike
+    # poutine.condition this keeps the sites latent
+    proto_model = (
+        _InitValuesMessenger(dict(init_values))(model)
+        if init_values
+        else model
+    )
     (
         potential_fn,
         postprocess_fn,
         transforms,
         prototype_trace,
         unconstrain,
-    ) = get_potential_fn(model, model_args, model_kwargs, rng_key=k_proto)
+    ) = get_potential_fn(
+        proto_model, model_args, model_kwargs, rng_key=k_proto
+    )
 
     latents = _latent_sites(prototype_trace)
     proto_unconstrained = unconstrain(

@@ -370,21 +370,30 @@ def test_regional_quantized_mcmc_smoke():
     assert 0.3 < np.median(r0) < 5.0, np.median(r0)
 
 
-def test_heterogeneous_quantized_raises():
-    """Models with non-compartmental latents in transition() must fail
-    loudly in quantized mode, not silently mis-sample."""
-    from pyro_tpu.contrib.epidemiology import HeterogeneousRegionalSIRModel
+@pytest.mark.stage("integration")
+def test_heterogeneous_quantized_smoke():
+    """Non-compartmental drift series in transition() are discovered,
+    sampled as flat improper-uniform series, and conditioned into the
+    vectorized transition (ref ``compartmental.py:828-898``)."""
+    from pyro_tpu.contrib.epidemiology import HeterogeneousSIRModel
 
-    rng = np.random.RandomState(0)
-    population = jnp.asarray([300.0, 200.0])
-    coupling = jnp.asarray([[0.9, 0.1], [0.1, 0.9]])
-    data = jnp.asarray(rng.poisson(3.0, size=(6, 2)), jnp.float32)
-    m = HeterogeneousRegionalSIRModel(population, coupling, 4.0, data)
-    with pytest.raises(NotImplementedError):
-        m.fit_mcmc(
-            num_quant_bins=4,
-            num_samples=5,
-            warmup_steps=5,
-            heuristic_num_steps=5,
-            rng_key=jax.random.key(0),
-        )
+    T = 8
+    ext = HeterogeneousSIRModel(300, 4.0, jnp.zeros(T))
+    assert set(ext._non_compartmental) == {"beta"}
+    for seed in range(20):
+        s = ext.generate({"R0": 2.0}, rng_key=jax.random.key(seed))
+        obs = jnp.stack([s[f"obs_{t}"] for t in range(T)])
+        if float(obs.sum()) > 3:
+            break
+    m = HeterogeneousSIRModel(300, 4.0, obs)
+    m.fit_mcmc(
+        num_quant_bins=4,
+        num_samples=20,
+        warmup_steps=20,
+        heuristic_num_steps=40,
+        max_tree_depth=4,
+        rng_key=jax.random.key(0),
+    )
+    r0 = np.asarray(m.samples["R0"]).reshape(-1)
+    assert np.isfinite(r0).all()
+    assert m.samples["beta"].shape[-1] == T
