@@ -411,8 +411,18 @@ class GammaGaussianHMM(HiddenMarkovModel):
         result = self._trans + self._obs.condition(value).event_pad(
             left=self.hidden_dim
         )
-        result = result.expand(result.batch_shape)
-        result = sequential_gamma_gaussian_tensordot(result)
+        if result.precision.ndim == 2:
+            # shared precision across time: homogeneous fast path
+            from ..ops.gamma_gaussian import (
+                sequential_gamma_gaussian_tensordot_homogeneous,
+            )
+
+            result = sequential_gamma_gaussian_tensordot_homogeneous(
+                result
+            )
+        else:
+            result = result.expand(result.batch_shape)
+            result = sequential_gamma_gaussian_tensordot(result)
         result = gamma_gaussian_tensordot(
             self._init, result, dims=self.hidden_dim
         )

@@ -375,6 +375,92 @@ def gamma_gaussian_tensordot(
     return joint.event_permute(perm).marginalize(right=nb)
 
 
+def sequential_gamma_gaussian_tensordot_homogeneous(
+    gg: GammaGaussian,
+) -> GammaGaussian:
+    """Markov contraction specialized for chains whose precision is
+    SHARED across the trailing time axis (time-invariant Student-T /
+    scale-mixture HMMs: data enters only info vectors and the ``beta``
+    rate).  One shared factorization per halving level; batched work is
+    O(T n^2) vector solves plus scalar alpha/beta/logZ updates.  See
+    ``ops/gaussian.py:sequential_gaussian_tensordot_homogeneous`` for
+    the scheme; this adds the Gamma bookkeeping: per pairwise
+    elimination of the shared n coords, ``alpha -= n/2`` and
+    ``beta -= 0.5 |L^{-1} i_b|^2`` (ref ``marginalize``:251)."""
+    assert gg.precision.ndim == 2
+    two_n = gg.dim
+    assert two_n % 2 == 0
+    n = two_n // 2
+    T = gg.batch_shape[-1]
+    P = gg.precision
+    info = jnp.broadcast_to(gg.info_vec, gg.batch_shape + (two_n,))
+    logZ = jnp.broadcast_to(gg.log_normalizer, gg.batch_shape)
+    alpha = jnp.broadcast_to(gg.alpha, gg.batch_shape)
+    beta = jnp.broadcast_to(gg.beta, gg.batch_shape)
+
+    def reduce_pow2_block(P, info, logZ, alpha, beta):
+        while info.shape[-2] > 1:
+            A = P[:n, :n]
+            B = P[:n, n:]
+            D = P[n:, n:]
+            J_bb = D + A
+            L = jnp.linalg.cholesky(J_bb)
+            C = jnp.concatenate([B, B.T], axis=0)  # (2n, n)
+            Kt = _tri_solve(L, C.T)  # (n, 2n)
+            diag = jnp.zeros((two_n, two_n), P.dtype)
+            diag = diag.at[:n, :n].set(A).at[n:, n:].set(D)
+            P = diag - Kt.T @ Kt
+            i1 = info[..., 0::2, :]
+            i2 = info[..., 1::2, :]
+            ib = i1[..., n:] + i2[..., :n]
+            s = _tri_solve(L, ib[..., None])[..., 0]
+            outer = jnp.concatenate(
+                [i1[..., :n], i2[..., n:]], axis=-1
+            )
+            info = outer - s @ Kt
+            alpha = alpha[..., 0::2] + alpha[..., 1::2] - 0.5 * n
+            beta = (
+                beta[..., 0::2]
+                + beta[..., 1::2]
+                - 0.5 * jnp.sum(s * s, axis=-1)
+            )
+            logZ = (
+                logZ[..., 0::2]
+                + logZ[..., 1::2]
+                + 0.5 * n * math.log(2 * math.pi)
+                - jnp.sum(jnp.log(jnp.diagonal(L)))
+            )
+        return GammaGaussian(
+            logZ[..., 0],
+            info[..., 0, :],
+            P,
+            alpha[..., 0],
+            beta[..., 0],
+        )
+
+    blocks = []
+    start = 0
+    remaining = T
+    while remaining > 0:
+        size = 1 << (remaining.bit_length() - 1)
+        sl = slice(start, start + size)
+        blocks.append(
+            reduce_pow2_block(
+                P,
+                info[..., sl, :],
+                logZ[..., sl],
+                alpha[..., sl],
+                beta[..., sl],
+            )
+        )
+        start += size
+        remaining -= size
+    result = blocks[0]
+    for g in blocks[1:]:
+        result = gamma_gaussian_tensordot(result, g, dims=n)
+    return result
+
+
 def sequential_gamma_gaussian_tensordot(
     gamma_gaussian: GammaGaussian,
 ) -> GammaGaussian:

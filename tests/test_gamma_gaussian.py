@@ -239,3 +239,37 @@ def test_gamma_gaussian_hmm_batched_and_jit():
     lp = jax.jit(hmm.log_prob)(value)
     assert lp.shape == (B,)
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_homogeneous_gamma_chain_matches_general():
+    """Shared-precision Student-T HMM fast path == general contraction."""
+    import pyro_tpu.distributions as dist
+    from pyro_tpu.ops.gamma_gaussian import (
+        gamma_gaussian_tensordot,
+        sequential_gamma_gaussian_tensordot,
+    )
+
+    H, O = 3, 2
+    k = jax.random.split(jax.random.key(1), 3)
+    init = dist.MultivariateNormal(jnp.zeros(H), jnp.eye(H))
+    tm = 0.8 * jnp.eye(H) + 0.1 * jax.random.normal(k[0], (H, H))
+    trans = dist.MultivariateNormal(jnp.zeros(H), 0.5 * jnp.eye(H))
+    om = jax.random.normal(k[1], (H, O))
+    obs = dist.MultivariateNormal(jnp.zeros(O), 0.7 * jnp.eye(O))
+    for T in [1, 3, 8, 13, 50]:
+        hmm = dist.GammaGaussianHMM(
+            dist.Gamma(2.0, 2.0), init, tm, trans, om, obs, duration=T
+        )
+        data = jax.random.normal(k[2], (T, O))
+        lp_fast = float(hmm.log_prob(data))
+        r = hmm._trans + hmm._obs.condition(data).event_pad(left=H)
+        assert r.precision.ndim == 2  # fast path active
+        r = r.expand(r.batch_shape)
+        r = sequential_gamma_gaussian_tensordot(r)
+        r = gamma_gaussian_tensordot(hmm._init, r, dims=H)
+        lp_ref = float(r.event_logsumexp().logsumexp())
+        assert abs(lp_fast - lp_ref) < 1e-3 * max(1.0, abs(lp_ref)), (
+            T,
+            lp_fast,
+            lp_ref,
+        )
