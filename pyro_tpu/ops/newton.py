@@ -9,7 +9,9 @@ import jax.numpy as jnp
 
 def newton_step(loss_fn, x, trust_radius=None):
     """One Newton update on the rightmost dim of x (dispatches on dim,
-    ref ``newton.py:newton_step``).  Returns (x_new, hessian)."""
+    ref ``newton.py:newton_step``).  Returns ``(mode, cov)`` where
+    ``cov`` is the inverse Hessian (the Laplace covariance estimate,
+    matching the reference contract, ref ``newton.py:56-59``)."""
     dim = x.shape[-1]
     if dim == 1:
         return newton_step_1d(loss_fn, x, trust_radius)
@@ -46,13 +48,15 @@ def _batched_newton(loss_fn, x, trust_radius):
 
         g = jax.grad(scalar_loss)(v)
         H = jax.hessian(scalar_loss)(v)
-        step = -jnp.linalg.solve(H + 1e-8 * jnp.eye(d), g)
+        H_reg = H + 1e-8 * jnp.eye(d)
+        step = -jnp.linalg.solve(H_reg, g)
         if trust_radius is not None:
             norm = jnp.linalg.norm(step)
             step = step * jnp.minimum(
                 1.0, trust_radius / jnp.clip(norm, 1e-12)
             )
-        return jax.lax.stop_gradient(v) + step, H
+        cov = jnp.linalg.inv(H_reg)
+        return jax.lax.stop_gradient(v) + step, cov
 
-    xs, Hs = jax.vmap(one)(flat, jnp.arange(flat.shape[0]))
-    return xs.reshape(x.shape), Hs.reshape(batch_shape + (d, d))
+    xs, covs = jax.vmap(one)(flat, jnp.arange(flat.shape[0]))
+    return xs.reshape(x.shape), covs.reshape(batch_shape + (d, d))
