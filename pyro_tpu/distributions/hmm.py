@@ -286,14 +286,32 @@ class GaussianHMM(HiddenMarkovModel):
         trans = self._trans + self._obs.marginalize(
             right=self.obs_dim
         ).event_pad(left=self.hidden_dim)
-        trans = trans.expand(
-            broadcast_shape(
-                trans.batch_shape, self.batch_shape + (self.duration,)
+        if trans.precision.ndim == 2 and not self.batch_shape:
+            from ..ops.gaussian import (
+                Gaussian,
+                sequential_gaussian_filter_sample_homogeneous,
             )
-        )
-        z = sequential_gaussian_filter_sample(
-            self._init, trans, sample_shape, rng_key=k_z
-        )
+
+            T = self.duration
+            trans_b = Gaussian(
+                jnp.broadcast_to(trans.log_normalizer, (T,)),
+                jnp.broadcast_to(
+                    trans.info_vec, (T,) + trans.info_vec.shape[-1:]
+                ),
+                trans.precision,
+            )
+            z = sequential_gaussian_filter_sample_homogeneous(
+                self._init, trans_b, sample_shape, rng_key=k_z
+            )
+        else:
+            trans = trans.expand(
+                broadcast_shape(
+                    trans.batch_shape, self.batch_shape + (self.duration,)
+                )
+            )
+            z = sequential_gaussian_filter_sample(
+                self._init, trans, sample_shape, rng_key=k_z
+            )
         z = z[..., 1:, :]  # drop the initial hidden state
         x = self._obs.left_condition(z).rsample(k_x)
         return x
@@ -303,10 +321,19 @@ class GaussianHMM(HiddenMarkovModel):
         trans = self._trans + self._obs.condition(value).event_pad(
             left=self.hidden_dim
         )
-        trans = trans.expand(trans.batch_shape)
-        z = sequential_gaussian_filter_sample(
-            self._init, trans, sample_shape, rng_key=key
-        )
+        if trans.precision.ndim == 2:
+            from ..ops.gaussian import (
+                sequential_gaussian_filter_sample_homogeneous,
+            )
+
+            z = sequential_gaussian_filter_sample_homogeneous(
+                self._init, trans, sample_shape, rng_key=key
+            )
+        else:
+            trans = trans.expand(trans.batch_shape)
+            z = sequential_gaussian_filter_sample(
+                self._init, trans, sample_shape, rng_key=key
+            )
         return z[..., 1:, :]
 
     def filter(self, value):

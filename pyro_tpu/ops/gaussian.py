@@ -521,6 +521,138 @@ def sequential_gaussian_tensordot(gaussian: Gaussian) -> Gaussian:
     return gaussian[..., 0]
 
 
+def _std_normal_like(key, mean):
+    return jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def sequential_gaussian_filter_sample_homogeneous(
+    init: Gaussian, trans: Gaussian, sample_shape=(), rng_key=None
+):
+    """Temporal-parallel posterior sampling for *time-homogeneous*
+    Gaussian Markov chains (shared ``trans.precision`` across the time
+    axis — the GaussianHMM posterior case, where data enters only info
+    vectors).
+
+    Divide-and-conquer (Särkkä & García-Fernández temporal
+    parallelization, ref ``ops/gaussian.py:600``): time splits into
+    maximal power-of-two blocks; each block's pairwise combine tree is
+    built once (per level: ONE shared Cholesky + batched mid-info
+    vectors), the short block chain is FFBS-sampled sequentially
+    (≤ log2 T junctions), then each level's midpoints are sampled *in
+    parallel* given their segment endpoints — O(log T) depth instead of
+    the general path's O(T) scan.
+    """
+    if rng_key is None:
+        rng_key = jax.random.key(0)
+    assert trans.precision.ndim == 2
+    two_n = trans.dim
+    n = two_n // 2
+    T = trans.batch_shape[-1]
+    batch = trans.batch_shape[:-1]
+    P0 = trans.precision
+    info0 = jnp.broadcast_to(trans.info_vec, trans.batch_shape + (two_n,))
+    logZ0 = jnp.broadcast_to(trans.log_normalizer, trans.batch_shape)
+
+    def build_block(info):
+        """Forward halving for one power-of-two block, saving per-level
+        (L, B, ib) for the backward midpoint sampling."""
+        P = P0
+        levels = []
+        logZ = jnp.zeros(info.shape[:-1], info.dtype)
+        while info.shape[-2] > 1:
+            A = P[:n, :n]
+            B = P[:n, n:]
+            D = P[n:, n:]
+            J_bb = D + A
+            L = jnp.linalg.cholesky(J_bb)
+            C = jnp.concatenate([B, B.T], axis=0)
+            Kt = _tri_solve(L, C.T)
+            i1 = info[..., 0::2, :]
+            i2 = info[..., 1::2, :]
+            ib = i1[..., n:] + i2[..., :n]
+            levels.append((L, B, ib))
+            s = _tri_solve(L, ib[..., None])[..., 0]
+            outer = jnp.concatenate(
+                [i1[..., :n], i2[..., n:]], axis=-1
+            )
+            info = outer - s @ Kt
+            diag = jnp.zeros((two_n, two_n), P.dtype)
+            diag = diag.at[:n, :n].set(A).at[n:, n:].set(D)
+            P = diag - Kt.T @ Kt
+            logZ = (
+                logZ[..., 0::2]
+                + logZ[..., 1::2]
+                + 0.5 * n * math.log(2 * math.pi)
+                - jnp.sum(jnp.log(jnp.diagonal(L)))
+                + 0.5 * jnp.sum(s * s, axis=-1)
+            )
+        g = Gaussian(logZ[..., 0], info[..., 0, :], P)
+        return g, levels
+
+    # decompose T into power-of-two blocks in time order
+    blocks = []
+    start = 0
+    remaining = T
+    while remaining > 0:
+        size = 1 << (remaining.bit_length() - 1)
+        g, levels = build_block(info0[..., start : start + size, :])
+        blocks.append((size, g, levels))
+        start += size
+        remaining -= size
+
+    # FFBS over the short block chain to sample the junction states
+    alphas = [init.expand(batch)]
+    for size, g, _levels in blocks:
+        joint = g + alphas[-1].event_pad(right=n)
+        alphas.append(joint.marginalize(left=n))
+    k_top, k_levels = jax.random.split(rng_key)
+    keys = jax.random.split(k_top, len(blocks) + 1)
+    z_end = alphas[-1].rsample(keys[0], sample_shape)
+    junctions = [z_end]  # time-reversed junction states
+    for j in range(len(blocks) - 1, -1, -1):
+        size, g, _levels = blocks[j]
+        posterior = g.condition(junctions[-1]) + alphas[j]
+        junctions.append(posterior.rsample(keys[j + 1]))
+    junctions.reverse()  # junctions[j] = state at the START of block j
+
+    # parallel in-block midpoint descent
+    all_level_keys = jax.random.split(k_levels, max(1, len(blocks)))
+    out_chunks = []  # per block: states at the block's interior+start
+    for j, (size, g, levels) in enumerate(blocks):
+        z_pts = jnp.stack(
+            [junctions[j], junctions[j + 1]], axis=-2
+        )  # (..., 2, n)
+        lvl_keys = jax.random.split(all_level_keys[j], max(1, len(levels)))
+        for li in range(len(levels) - 1, -1, -1):
+            L, B, ib = levels[li]
+            z_a = z_pts[..., :-1, :]
+            z_c = z_pts[..., 1:, :]
+            info_cond = ib - z_a @ B - z_c @ B.T
+            # solve J_bb m = info_cond;  noise = L^{-T} eps
+            m = _cholesky_solve(L, info_cond[..., None])[..., 0]
+            eps = _std_normal_like(lvl_keys[li], m)
+            Lb, epsb = _bcast(jnp.swapaxes(L, -1, -2), eps[..., None])
+            noise = jax.scipy.linalg.solve_triangular(
+                Lb, epsb, lower=False
+            )[..., 0]
+            z_mid = m + noise
+            # interleave points and midpoints
+            stacked = jnp.concatenate(
+                [z_a[..., None, :], z_mid[..., None, :]], axis=-2
+            )
+            new_shape = stacked.shape[:-3] + (
+                stacked.shape[-3] * 2,
+                n,
+            )
+            z_pts = jnp.concatenate(
+                [stacked.reshape(new_shape), z_pts[..., -1:, :]],
+                axis=-2,
+            )
+        out_chunks.append(z_pts[..., :-1, :])
+    out_chunks.append(junctions[-1][..., None, :])
+    return jnp.concatenate(out_chunks, axis=-2)
+
+
 def sequential_gaussian_filter_sample(
     init: Gaussian, trans: Gaussian, sample_shape=(), rng_key=None
 ):

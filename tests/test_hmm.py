@@ -342,3 +342,63 @@ def test_time_varying_params_use_general_path():
     assert result.precision.ndim > 2  # general path
     lp = float(hmm.log_prob(data))
     assert np.isfinite(lp)
+
+
+@pytest.mark.stage("integration")
+def test_parallel_posterior_sampler_moments():
+    """The O(log T) homogeneous filter-sampler's empirical posterior
+    moments match the exact dense-joint Gaussian posterior."""
+    import pyro_tpu.distributions as dist
+
+    H, O, T = 2, 2, 6
+    k = jax.random.split(jax.random.key(0), 4)
+    init = dist.Normal(jnp.zeros(H), 1.0).to_event(1)
+    tm = 0.7 * jnp.eye(H) + 0.15 * jax.random.normal(k[0], (H, H))
+    trans = dist.Normal(jnp.zeros(H), 0.5).to_event(1)
+    om = jax.random.normal(k[1], (H, O))
+    obs = dist.Normal(jnp.zeros(O), 0.6).to_event(1)
+    hmm = dist.GaussianHMM(init, tm, trans, om, obs, duration=T)
+    data = jax.random.normal(k[2], (T, O))
+
+    n, N = H, (T + 1) * H
+    factors = hmm._trans + hmm._obs.condition(data).event_pad(left=n)
+    P = np.zeros((N, N))
+    iv = np.zeros(N)
+    Pf = np.asarray(
+        jnp.broadcast_to(factors.precision, (T, 2 * n, 2 * n))
+    )
+    inf = np.asarray(jnp.broadcast_to(factors.info_vec, (T, 2 * n)))
+    for t in range(T):
+        sl = slice(t * n, (t + 2) * n)
+        P[sl, sl] += Pf[t]
+        iv[t * n : (t + 2) * n] += inf[t]
+    P[:n, :n] += np.asarray(hmm._init.precision)
+    iv[:n] += np.asarray(hmm._init.info_vec)
+    cov_exact = np.linalg.inv(P)
+    mean_exact = cov_exact @ iv
+
+    S = 100000
+    z = np.asarray(hmm.rsample_posterior(data, jax.random.key(7), (S,)))
+    mean_emp = z.reshape(S, -1).mean(0)
+    cov_emp = np.cov(z.reshape(S, -1).T)
+    assert np.abs(mean_emp - mean_exact[n:]).max() < 0.02
+    assert np.abs(cov_emp - cov_exact[n:, n:]).max() < 0.02
+
+
+def test_parallel_sampler_shapes_all_length_classes():
+    import pyro_tpu.distributions as dist
+
+    H, O = 2, 2
+    k = jax.random.split(jax.random.key(5), 4)
+    init = dist.Normal(jnp.zeros(H), 1.0).to_event(1)
+    tm = 0.7 * jnp.eye(H)
+    trans = dist.Normal(jnp.zeros(H), 0.5).to_event(1)
+    om = jax.random.normal(k[1], (H, O))
+    obs = dist.Normal(jnp.zeros(O), 0.6).to_event(1)
+    for T in [1, 2, 3, 5, 7, 8, 13]:
+        hmm = dist.GaussianHMM(init, tm, trans, om, obs, duration=T)
+        d = jax.random.normal(k[3], (T, O))
+        z = hmm.rsample_posterior(d, jax.random.key(1), (3,))
+        assert z.shape == (3, T, H) and np.isfinite(np.asarray(z)).all()
+        x = hmm.rsample(jax.random.key(2), (3,))
+        assert x.shape == (3, T, O) and np.isfinite(np.asarray(x)).all()
