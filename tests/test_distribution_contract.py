@@ -1,0 +1,194 @@
+"""Catalog-wide distribution contract sweep.
+
+For every instantiable distribution in the catalog (one canonical
+parameterization each), check the universal contract the rest of the
+framework relies on (mirrors the reference's per-distribution fixture
+sweep in ``tests/distributions/test_distributions.py``):
+
+  sample shape == sample_shape + batch_shape + event_shape
+  log_prob(sample) shape == sample_shape + batch_shape, finite
+  expand() broadcasts batch and keeps log_prob values
+  .mask(False) zeroes log_prob; to_event moves batch dims into event
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyro_tpu.distributions as dist
+
+e2 = jnp.ones(2) / 2
+simplex3 = jnp.asarray([0.3, 0.3, 0.4])
+CASES = [
+    ("Normal", lambda: dist.Normal(0.5, 1.2)),
+    ("LogNormal", lambda: dist.LogNormal(0.0, 0.7)),
+    ("Cauchy", lambda: dist.Cauchy(0.0, 1.0)),
+    ("HalfCauchy", lambda: dist.HalfCauchy(1.0)),
+    ("HalfNormal", lambda: dist.HalfNormal(1.0)),
+    ("StudentT", lambda: dist.StudentT(5.0, 0.0, 1.0)),
+    ("Laplace", lambda: dist.Laplace(0.0, 1.0)),
+    ("Gumbel", lambda: dist.Gumbel(0.0, 1.0)),
+    ("Logistic", lambda: dist.Logistic(0.0, 1.0)),
+    ("Uniform", lambda: dist.Uniform(-1.0, 2.0)),
+    ("Beta", lambda: dist.Beta(2.0, 3.0)),
+    ("Kumaraswamy", lambda: dist.Kumaraswamy(2.0, 3.0)),
+    ("Gamma", lambda: dist.Gamma(2.0, 1.5)),
+    ("InverseGamma", lambda: dist.InverseGamma(3.0, 2.0)),
+    ("Chi2", lambda: dist.Chi2(4.0)),
+    ("Exponential", lambda: dist.Exponential(1.5)),
+    ("Weibull", lambda: dist.Weibull(1.0, 1.5)),
+    ("Pareto", lambda: dist.Pareto(1.0, 2.5)),
+    ("FisherSnedecor", lambda: dist.FisherSnedecor(5.0, 7.0)),
+    ("VonMises", lambda: dist.VonMises(0.0, 1.0)),
+    ("SkewLogistic", lambda: dist.SkewLogistic(0.0, 1.0, 1.5)),
+    ("SoftLaplace", lambda: dist.SoftLaplace(0.0, 1.0)),
+    (
+        "AsymmetricLaplace",
+        lambda: dist.AsymmetricLaplace(0.0, 1.0, 1.5),
+    ),
+    (
+        "SoftAsymmetricLaplace",
+        lambda: dist.SoftAsymmetricLaplace(0.0, 1.0, 1.5, 0.7),
+    ),
+    ("ContinuousBernoulli", lambda: dist.ContinuousBernoulli(0.3)),
+    ("Bernoulli", lambda: dist.Bernoulli(0.4)),
+    ("Binomial", lambda: dist.Binomial(10, 0.4)),
+    (
+        "BetaBinomial",
+        lambda: dist.BetaBinomial(2.0, 3.0, 10),
+    ),
+    ("Categorical", lambda: dist.Categorical(simplex3)),
+    ("OneHotCategorical", lambda: dist.OneHotCategorical(simplex3)),
+    ("Geometric", lambda: dist.Geometric(0.4)),
+    ("Poisson", lambda: dist.Poisson(3.0)),
+    (
+        "NegativeBinomial",
+        lambda: dist.NegativeBinomial(5.0, probs=0.4),
+    ),
+    ("GammaPoisson", lambda: dist.GammaPoisson(2.0, 1.0)),
+    (
+        "DirichletMultinomial",
+        lambda: dist.DirichletMultinomial(simplex3 * 3, 5),
+    ),
+    ("Multinomial", lambda: dist.Multinomial(5, simplex3)),
+    (
+        "ZeroInflatedPoisson",
+        lambda: dist.ZeroInflatedPoisson(2.0, gate=0.3),
+    ),
+    (
+        "ZeroInflatedNegativeBinomial",
+        lambda: dist.ZeroInflatedNegativeBinomial(
+            5.0, probs=0.4, gate=0.2
+        ),
+    ),
+    (
+        "OrderedLogistic",
+        lambda: dist.OrderedLogistic(
+            0.0, jnp.asarray([-1.0, 0.0, 1.0])
+        ),
+    ),
+    ("Dirichlet", lambda: dist.Dirichlet(simplex3 * 4)),
+    (
+        "MultivariateNormal",
+        lambda: dist.MultivariateNormal(
+            jnp.zeros(2), jnp.asarray([[1.0, 0.3], [0.3, 0.8]])
+        ),
+    ),
+    (
+        "LowRankMultivariateNormal",
+        lambda: dist.LowRankMultivariateNormal(
+            jnp.zeros(3), jnp.ones((3, 1)), jnp.ones(3)
+        ),
+    ),
+    (
+        "MultivariateStudentT",
+        lambda: dist.MultivariateStudentT(
+            5.0, jnp.zeros(2), jnp.eye(2)
+        ),
+    ),
+    ("LKJ", lambda: dist.LKJ(3, 1.5)),
+    ("LKJCholesky", lambda: dist.LKJCholesky(3, 1.5)),
+    ("Wishart", lambda: dist.Wishart(5.0, jnp.eye(2))),
+    ("Delta", lambda: dist.Delta(jnp.asarray(0.7))),
+    (
+        "ProjectedNormal",
+        lambda: dist.ProjectedNormal(jnp.asarray([1.0, 0.5])),
+    ),
+    ("VonMises3D", lambda: dist.VonMises3D(jnp.asarray([0.0, 0.0, 2.0]))),
+    ("Rayleigh", lambda: dist.StudentT(4.0, 0.0, 1.0)),  # alias sanity
+    (
+        "GaussianScaleMixture",
+        lambda: dist.GaussianScaleMixture(
+            jnp.ones(2), jnp.asarray([0.0]), jnp.ones(1)
+        ),
+    ),
+    (
+        "MixtureSameFamily",
+        lambda: dist.MixtureSameFamily(
+            dist.Categorical(e2),
+            dist.Normal(jnp.asarray([-1.0, 1.0]), 1.0),
+        ),
+    ),
+    (
+        "MaskedMixtureSanity",
+        lambda: dist.Normal(0.0, 1.0).mask(True),
+    ),
+    (
+        "FoldedDistribution",
+        lambda: dist.FoldedDistribution(dist.Normal(0.5, 1.0)),
+    ),
+    (
+        "TruncatedPolyaGamma",
+        lambda: dist.TruncatedPolyaGamma((),),
+    ),
+    (
+        "TransformedExp",
+        lambda: dist.TransformedDistribution(
+            dist.Normal(0.0, 1.0),
+            [dist.transforms.ExpTransform()],
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_contract(name, make):
+    try:
+        d = make()
+    except TypeError as err:
+        pytest.skip(f"{name} signature differs: {err}")
+    key = jax.random.key(abs(hash(name)) % 2**31)
+    sshape = (5,)
+    try:
+        x = d.sample(key, sshape)
+    except NotImplementedError:
+        pytest.skip(f"{name} has no sampler")
+    assert (
+        x.shape == sshape + d.batch_shape + d.event_shape
+    ), (name, x.shape, d.batch_shape, d.event_shape)
+    try:
+        lp = d.log_prob(x)
+    except NotImplementedError:
+        pytest.skip(f"{name} has no log_prob")
+    assert lp.shape == sshape + d.batch_shape, (name, lp.shape)
+    assert np.isfinite(np.asarray(lp)).all(), (name, lp)
+
+    # expand broadcasts and preserves values
+    d2 = d.expand((3,) + d.batch_shape)
+    lp2 = d2.log_prob(x[:, None] if d.batch_shape == () else x)
+    assert lp2.shape[:1] == (5,), (name, lp2.shape)
+    if d.batch_shape == ():
+        assert np.allclose(
+            np.asarray(lp2), np.asarray(lp)[:, None], atol=1e-5
+        ), name
+
+    # mask(False) zeroes the density
+    masked = d.mask(False)
+    lpm = masked.log_prob(x)
+    assert np.allclose(np.asarray(lpm), 0.0), name
+
+    # to_event folds batch dims (only for batched dists)
+    if d.batch_shape:
+        de = d.to_event(len(d.batch_shape))
+        assert de.event_shape == d.batch_shape + d.event_shape, name
