@@ -9,9 +9,9 @@ from typing import Callable, Dict, Tuple, Type
 import jax.numpy as jnp
 from jax.scipy import special as jsp
 
-from .continuous import Beta, Gamma, Normal
+from .continuous import Beta, Exponential, Gamma, LogNormal, Normal, Uniform
 from .delta import Delta
-from .discrete import Bernoulli, Categorical
+from .discrete import Bernoulli, Categorical, Geometric, Poisson
 from .distribution import Distribution, Independent, MaskedDistribution
 from .multivariate import Dirichlet, MultivariateNormal
 from .util import sum_rightmost
@@ -135,6 +135,50 @@ def _kl_mvn(p, q):
     )[..., 0]
     mah = jnp.sum(y**2, axis=-1)
     return half_logdet + 0.5 * (tr + mah - n)
+
+
+@register_kl(Exponential, Exponential)
+def _kl_exponential(p, q):
+    # KL(Exp(a) || Exp(b)) = log a - log b + b/a - 1
+    ratio = q.rate / p.rate
+    return jnp.log(p.rate) - jnp.log(q.rate) + ratio - 1.0
+
+
+@register_kl(Poisson, Poisson)
+def _kl_poisson(p, q):
+    return (
+        p.rate * (jnp.log(p.rate) - jnp.log(q.rate))
+        - p.rate
+        + q.rate
+    )
+
+
+@register_kl(Uniform, Uniform)
+def _kl_uniform(p, q):
+    # infinite when p's support is not within q's
+    result = jnp.log(q.high - q.low) - jnp.log(p.high - p.low)
+    return jnp.where(
+        (q.low <= p.low) & (p.high <= q.high), result, jnp.inf
+    )
+
+
+@register_kl(LogNormal, LogNormal)
+def _kl_lognormal(p, q):
+    # invariant under the shared exp bijection: equals the base Normal KL
+    var_ratio = (p.scale / q.scale) ** 2
+    t1 = ((p.loc - q.loc) / q.scale) ** 2
+    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+
+
+@register_kl(Geometric, Geometric)
+def _kl_geometric(p, q):
+    # E_p[x] = (1-p)/p ; KL = -H_p - E_p[ x log(1-q) + log q ]
+    mean = (1.0 - p.probs) / p.probs
+    return (
+        mean * (jnp.log1p(-p.probs) - jnp.log1p(-q.probs))
+        + jnp.log(p.probs)
+        - jnp.log(q.probs)
+    )
 
 
 @register_kl(Delta, Distribution)

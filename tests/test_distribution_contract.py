@@ -192,3 +192,32 @@ def test_contract(name, make):
     if d.batch_shape:
         de = d.to_event(len(d.batch_shape))
         assert de.event_shape == d.batch_shape + d.event_shape, name
+
+
+KL_CASES = [
+    ("Normal", dist.Normal(0.2, 1.1), dist.Normal(-0.3, 0.8)),
+    ("Exponential", dist.Exponential(1.5), dist.Exponential(0.7)),
+    ("LogNormal", dist.LogNormal(0.2, 0.5), dist.LogNormal(-0.1, 0.9)),
+    ("Uniform", dist.Uniform(0.0, 1.0), dist.Uniform(-1.0, 2.0)),
+    ("Poisson", dist.Poisson(3.0), dist.Poisson(5.0)),
+    ("Geometric", dist.Geometric(0.4), dist.Geometric(0.6)),
+    ("Gamma", dist.Gamma(2.0, 1.5), dist.Gamma(3.0, 1.0)),
+    ("Beta", dist.Beta(2.0, 3.0), dist.Beta(1.0, 1.0)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,p,q", KL_CASES, ids=[c[0] for c in KL_CASES]
+)
+def test_kl_divergence_vs_monte_carlo(name, p, q):
+    """Every registered analytic KL equals a large-sample MC estimate."""
+    from pyro_tpu.distributions import kl_divergence
+
+    analytic = float(kl_divergence(p, q))
+    x = p.sample(jax.random.key(0), (200000,))
+    mc = float(jnp.mean(p.log_prob(x) - q.log_prob(x)))
+    assert abs(analytic - mc) < max(0.02, 0.05 * abs(analytic)), (
+        name,
+        analytic,
+        mc,
+    )
