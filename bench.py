@@ -524,13 +524,18 @@ def measure_ours_nuts_ess() -> float:
     run(jax.random.key(0))  # compile warmup
     t0 = time.perf_counter()
     mcmc = run(jax.random.key(1))
+    # sync on the draws (the reference also times .run() only and
+    # computes ESS outside the clock)
+    jax.block_until_ready(mcmc.get_samples())
+    sample0 = next(iter(mcmc.get_samples().values()))
+    float(jnp.asarray(sample0).sum())  # host read = reliable tunnel sync
+    dt = time.perf_counter() - t0
     diag = mcmc.diagnostics()
     total_ess = sum(
         float(jnp.asarray(d["n_eff"]).sum())
         for d in diag.values()
         if isinstance(d, dict) and "n_eff" in d
     )
-    dt = time.perf_counter() - t0
     return total_ess / dt
 
 
