@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import zlib
 
 import pyro_tpu.distributions as dist
 
@@ -158,7 +159,7 @@ def test_contract(name, make):
         d = make()
     except TypeError as err:
         pytest.skip(f"{name} signature differs: {err}")
-    key = jax.random.key(abs(hash(name)) % 2**31)
+    key = jax.random.key(zlib.crc32(name.encode()) % 2**31)
     sshape = (5,)
     try:
         x = d.sample(key, sshape)

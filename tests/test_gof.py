@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import zlib
 
 import pyro_tpu.distributions as dist
 from pyro_tpu.distributions.testing.gof import auto_goodness_of_fit
@@ -48,7 +49,7 @@ CASES = [
 @pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
 def test_univariate_gof(name, make):
     d = make()
-    samples = d.sample(jax.random.key(hash(name) % 2**31), (20000,))
+    samples = d.sample(jax.random.key(zlib.crc32(name.encode()) % 2**31), (20000,))
     probs = np.exp(np.asarray(d.log_prob(samples)))
     gof = auto_goodness_of_fit(np.asarray(samples), probs)
     assert gof > TEST_FAILURE_RATE, (name, gof)
@@ -142,7 +143,7 @@ def test_discrete_gof(name, make, support):
     d = make()
     n = 20000
     samples = np.asarray(
-        jax.device_get(d.sample(jax.random.key(hash(name) % 2**31), (n,)))
+        jax.device_get(d.sample(jax.random.key(zlib.crc32(name.encode()) % 2**31), (n,)))
     )
     if samples.ndim == 2:  # one-hot (DirichletMultinomial with n=1)
         samples = samples.argmax(-1)
@@ -204,7 +205,7 @@ EXTRA_CASES = [
 )
 def test_extra_gof(name, make):
     d = make()
-    samples = d.sample(jax.random.key(hash(name) % 2**31), (20000,))
+    samples = d.sample(jax.random.key(zlib.crc32(name.encode()) % 2**31), (20000,))
     probs = np.exp(np.asarray(d.log_prob(samples)))
     gof = auto_goodness_of_fit(np.asarray(samples), probs)
     assert gof > TEST_FAILURE_RATE, (name, gof)
