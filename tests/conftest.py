@@ -17,6 +17,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: most of the unit tier's wall time is XLA
+# compilation, so warm-cache runs are several times faster (ref runs its
+# unit tier on many cores; this host has one).
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import signal
+
 import pytest
 
 import pyro_tpu
@@ -28,6 +38,43 @@ def _clean_global_state():
     pyro_tpu.set_rng_seed(0)
     yield
     pyro_tpu.clear_param_store()
+
+
+# -- per-test timeout (no pytest-timeout in this image) ----------------------
+#
+# A single hung compile must not stall the whole tier; SIGALRM is safe here
+# because pytest executes tests in the main thread.  Override per test with
+# ``@pytest.mark.timeout(seconds)``.
+
+DEFAULT_TEST_TIMEOUT = int(os.environ.get("PYRO_TPU_TEST_TIMEOUT", "300"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    seconds = int(marker.args[0]) if marker and marker.args else DEFAULT_TEST_TIMEOUT
+    if seconds <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded per-test timeout of {seconds}s (conftest SIGALRM)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout(seconds): per-test wall-clock budget"
+    )
 
 
 # -- stage markers (ref ``tests/conftest.py:40-115``) -----------------------
