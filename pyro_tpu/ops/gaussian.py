@@ -247,13 +247,21 @@ class Gaussian:
             + 0.5 * jnp.sum(Linvi**2, axis=-1)
         )
 
-    def rsample(self, key, sample_shape=()):
-        """Sample from the normalized density (ref ``:240``)."""
+    def rsample(self, key, sample_shape=(), noise=None):
+        """Sample from the normalized density (ref ``:240``).  When
+        ``noise`` (standard white noise of shape
+        ``sample_shape + batch_shape + (dim,)``) is given, the draw is a
+        deterministic reparameterization of it and ``key`` may be None —
+        pass zeros to get the mean, scaled noise for tempering, or
+        ``cat([z, -z])`` for antithetic pairs (ref ``:600`` docstring)."""
         P = self.precision
         L = jnp.linalg.cholesky(P)
         loc = _cholesky_solve(L, self.info_vec[..., None])[..., 0]
         shape = tuple(sample_shape) + self.batch_shape + (self.dim,)
-        eps = jax.random.normal(key, shape, loc.dtype)
+        if noise is None:
+            eps = jax.random.normal(key, shape, loc.dtype)
+        else:
+            eps = jnp.broadcast_to(noise, shape)
         # x = loc + L^{-T} eps  so that cov = P^{-1}
         Lt = jnp.broadcast_to(
             jnp.swapaxes(L, -1, -2), shape + (self.dim,)
@@ -654,19 +662,133 @@ def sequential_gaussian_filter_sample_homogeneous(
 
 
 def sequential_gaussian_filter_sample(
-    init: Gaussian, trans: Gaussian, sample_shape=(), rng_key=None
+    init: Gaussian, trans: Gaussian, sample_shape=(), rng_key=None, noise=None
 ):
-    """Forward-filter backward-sample for a Gaussian Markov chain.
+    """Forward-filter backward-sample for a Gaussian Markov chain, in
+    O(log T) parallel depth, valid for *time-varying* transitions.
+
+    ``noise``, if given, is a standard-white-noise tensor of shape
+    ``sample_shape + batch + (T + 1, n)`` consumed deterministically
+    (blockwise, in sampling order) — zeros yield the exact posterior
+    mean, and the output is a linear function of ``noise`` whose
+    Jacobian reproduces the posterior covariance (used by the exact
+    equality tests).
 
     ``init`` is over the initial state (dim n); ``trans`` has batch
     (..., T) over (prev, next).  Returns samples of shape
     sample_shape + batch + (T+1, n).
 
-    Ref ``ops/gaussian.py:600`` implements a parallel-scan tree; here the
-    forward filter is a ``lax.scan``, backward sampling a second scan —
-    O(T) sequential but with tiny per-step batched ops.  (The O(log T)
-    associative-scan variant is used by GaussianHMM.log_prob via
-    ``sequential_gaussian_tensordot``.)
+    Same tree algorithm as the reference (``ops/gaussian.py:600``),
+    written for XLA: a forward pairwise-halving pass contracts adjacent
+    transition factors (keeping, at each level, the 3n-dim joint over
+    (mid | left, right) on a tape), then a backward pass samples the
+    chain endpoints from the fully contracted Gaussian and descends the
+    tape, conditioning each level's joints on already-sampled neighbor
+    pairs to draw all midpoints of that level *in one batched op*.
+    Every level is a fully batched Cholesky/solve with static shapes, so
+    depth is ceil(log2 T) regardless of whether ``trans`` is
+    heterogeneous.  (The homogeneous specialization
+    ``sequential_gaussian_filter_sample_homogeneous`` additionally
+    shares one factorization per level.)
+    """
+    if rng_key is None and noise is None:
+        rng_key = jax.random.key(0)
+    n = init.dim
+    assert trans.dim == 2 * n
+    T = trans.batch_shape[-1]
+    batch = broadcast_shape(trans.batch_shape[:-1], init.batch_shape)
+    init = init.expand(batch)
+    if T == 0:
+        z0 = init.rsample(
+            rng_key,
+            sample_shape,
+            noise=None if noise is None else noise[..., 0, :],
+        )
+        return z0[..., None, :]
+    noise_pos = 0
+
+    def _take_noise(k):
+        """Consume the next k time-slots of the provided noise buffer."""
+        nonlocal noise_pos
+        block = noise[..., noise_pos : noise_pos + k, :]
+        noise_pos += k
+        return block
+    trans = trans.expand(batch + (T,))
+    perm = jnp.concatenate(
+        [jnp.arange(n, 2 * n), jnp.arange(n), jnp.arange(2 * n, 3 * n)]
+    )
+
+    # Forward: pairwise halving, taping each level's (mid | left, right)
+    # joints for the backward midpoint draws.
+    tape = []
+    g = trans
+    while g.batch_shape[-1] > 1:
+        time = g.batch_shape[-1]
+        even_time = time // 2 * 2
+        x_y = g[..., :even_time].reshape(batch + (even_time // 2, 2))
+        x, y = x_y[..., 0], x_y[..., 1]
+        joint = (x.event_pad(right=n) + y.event_pad(left=n)).event_permute(
+            perm
+        )
+        tape.append(joint)
+        contracted = joint.marginalize(left=n)
+        if time > even_time:
+            contracted = Gaussian.cat(
+                [contracted, g[..., even_time:]], dim=-1
+            )
+        g = contracted
+    g = g[..., 0] + init.event_pad(right=n)  # joint over (z_0, z_T)
+
+    # Backward: sample endpoints, then per-level batched midpoints.
+    if rng_key is not None:
+        keys = jax.random.split(rng_key, len(tape) + 1)
+    else:  # noise-driven: rsample ignores keys
+        keys = [None] * (len(tape) + 1)
+    shape = tuple(sample_shape) + batch
+    end_noise = (
+        None
+        if noise is None
+        else _take_noise(2).reshape(shape + (2 * n,))
+    )
+    result = g.rsample(keys[0], sample_shape, noise=end_noise).reshape(
+        shape + (2, n)
+    )
+    for level in range(len(tape) - 1, -1, -1):
+        joint = tape[level]
+        m = result.shape[-2]
+        if joint.batch_shape[-1] == m - 1:  # even level
+            left = result[..., :-1, :]
+            right = result[..., 1:, :]
+            keep_tail = result[..., -1:, :]
+        else:  # odd level: the last point was carried through unpaired
+            assert joint.batch_shape[-1] == m - 2
+            left = result[..., :-2, :]
+            right = result[..., 1:-1, :]
+            keep_tail = result[..., -2:, :]
+        cond = jnp.concatenate([left, right], axis=-1)
+        mid_noise = None if noise is None else _take_noise(cond.shape[-2])
+        mids = joint.condition(cond).rsample(
+            keys[level + 1], noise=mid_noise
+        )
+        pairs = jnp.stack([left, mids], axis=-2)
+        interleaved = pairs.reshape(
+            pairs.shape[:-3] + (2 * pairs.shape[-3], n)
+        )
+        kt = jnp.broadcast_to(
+            keep_tail, interleaved.shape[:-2] + keep_tail.shape[-2:]
+        )
+        result = jnp.concatenate([interleaved, kt], axis=-2)
+    assert noise is None or noise_pos == T + 1, "noise not fully consumed"
+    return result
+
+
+def sequential_gaussian_filter_sample_sequential(
+    init: Gaussian, trans: Gaussian, sample_shape=(), rng_key=None
+):
+    """O(T) scan-based forward-filter backward-sample; retained as the
+    ground truth for distribution-equality tests of the O(log T) tree
+    path (``sequential_gaussian_filter_sample``) and for very small T
+    where tree bookkeeping doesn't pay.
     """
     if rng_key is None:
         rng_key = jax.random.key(0)
