@@ -28,6 +28,7 @@ from .primitives import (
 )
 from .poutine.plate_messenger import plate_stack
 from .poutine.enum_messenger import markov
+from .poutine.vectorized_markov import vectorized_markov
 from .infer.inspect import render_model
 
 __version__ = "0.1.0"
@@ -42,6 +43,7 @@ __all__ = [
     "get_param_store",
     "infer",
     "markov",
+    "vectorized_markov",
     "module",
     "optim",
     "param",

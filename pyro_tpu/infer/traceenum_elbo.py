@@ -124,6 +124,11 @@ def _compute_dice_elbo(model_trace, guide_trace):
         scale,
     ) = _compute_model_factors(model_trace, guide_trace)
     if log_factors:
+        from ..ops.markov_product import eliminate_markov_chains
+
+        sum_dims = eliminate_markov_chains(
+            model_trace, log_factors, sum_dims
+        )
         dim_to_size = {}
         for terms in log_factors.values():
             for term in terms:
@@ -180,7 +185,12 @@ class TraceEnum_ELBO(ELBO):
 
         guide_trace = prune_subsample_sites(guide_trace)
         model_trace = prune_subsample_sites(model_trace)
-        model_trace.compute_log_prob()
+        # auxiliary vectorized-markov sites are never scored
+        model_trace.compute_log_prob(
+            site_filter=lambda name, site: not site["infer"].get(
+                "_do_not_score"
+            )
+        )
         guide_trace.compute_score_parts()
         # pack with a shared plate-symbol namespace
         from .util import is_validation_enabled
@@ -254,6 +264,15 @@ def _compute_marginals(model_trace, guide_trace):
     message passing)."""
     from ..distributions.discrete import Bernoulli, Categorical
     from ..ops.einsum_adjoint import adjoint_marginals, marginal_of_dims
+
+    if any(
+        n["type"] == "markov_chain" and n["value"]
+        for n in model_trace.nodes.values()
+    ):
+        raise NotImplementedError(
+            "compute_marginals does not support vectorized_markov; "
+            "use pyro.markov (unrolled) for marginals"
+        )
 
     (
         marginal_costs,

@@ -36,10 +36,17 @@ def _finite(x):
 
 
 def _shift(p: PackedTensor, out_dims: str):
-    """Max over axes not in out_dims (detached, finite), keepdims."""
+    """Max over axes not in out_dims (detached, finite), keepdims.
+
+    When NO axis of ``p`` is summed (all dims kept), the shift is the
+    detached operand itself — exp(0)=1 exactly, so a running chain
+    factor can grow arbitrarily large in log space without overflowing
+    the exp (gradient is exact: each output element carries its own
+    shift, restored additively)."""
     axes = tuple(i for i, d in enumerate(p.dims) if d not in out_dims)
     if not axes:
-        return p.value, None
+        m = _finite(jax.lax.stop_gradient(p.value))
+        return p.value - m, PackedTensor(m, p.dims)
     m = jax.lax.stop_gradient(
         jnp.max(p.value, axis=axes, keepdims=True)
     )
@@ -93,8 +100,15 @@ def logsumexp_single(x: PackedTensor, out_dims: str) -> PackedTensor:
 
 
 def logsumexp_contract(terms: List[PackedTensor], sum_dims: Set[str]) -> PackedTensor:
-    """Contract a list of log factors, eliminating ``sum_dims``, via a
-    left-fold of pairwise contractions keeping dims still needed."""
+    """Contract a list of log factors, eliminating ``sum_dims``.
+
+    The pairwise order comes from ``opt_einsum.contract_path`` (as the
+    reference's einsum backend does, ``pyro/ops/einsum/__init__.py``):
+    a naive left-fold in list order can be catastrophically bad — for a
+    Markov chain whose emission factors are listed after all transition
+    factors it materializes the joint over every enumerated dim
+    (exponential memory and float32 saturation) where the optimized
+    path contracts the chain incrementally in O(T * K^2)."""
     if len(terms) == 1 and not sum_dims:
         return terms[0]
     if len(terms) == 1:
@@ -102,23 +116,44 @@ def logsumexp_contract(terms: List[PackedTensor], sum_dims: Set[str]) -> PackedT
             d for d in terms[0].dims if d not in sum_dims
         )
         return logsumexp_single(terms[0], out_dims)
-    # remaining-needs bookkeeping: dim needed if in output (non-sum) or in a
-    # later term
-    result = terms[0]
-    for i in range(1, len(terms)):
-        later_dims: Set[str] = set()
-        for t in terms[i + 1:]:
-            later_dims |= set(t.dims)
-        involved = set(result.dims) | set(terms[i].dims)
-        out_dims = "".join(
-            sorted(
-                d
-                for d in involved
-                if d not in sum_dims or d in later_dims
-            )
-        )
-        result = logsumexp_pair(result, terms[i], out_dims)
-    return result
+    all_dims = set()
+    for t in terms:
+        all_dims |= set(t.dims)
+    out_dims = "".join(sorted(all_dims - set(sum_dims)))
+
+    import opt_einsum
+
+    eq = ",".join(t.dims for t in terms) + "->" + out_dims
+    path, _ = opt_einsum.contract_path(
+        eq, *[t.shape for t in terms], shapes=True
+    )
+    operands = list(terms)
+    for step in path:
+        popped = [operands.pop(i) for i in sorted(step, reverse=True)]
+        remaining: Set[str] = set(out_dims)
+        for t in operands:
+            remaining |= set(t.dims)
+        involved = set()
+        for t in popped:
+            involved |= set(t.dims)
+        step_out = "".join(sorted(involved & remaining))
+        if len(popped) == 1:
+            result = logsumexp_single(popped[0], step_out)
+        else:
+            result = popped[0]
+            for k in range(1, len(popped)):
+                later: Set[str] = set()
+                for t in popped[k + 1 :]:
+                    later |= set(t.dims)
+                keep = (set(result.dims) | set(popped[k].dims)) & (
+                    set(step_out) | later
+                )
+                result = logsumexp_pair(
+                    result, popped[k], "".join(sorted(keep))
+                )
+        operands.append(result)
+    assert len(operands) == 1
+    return align(operands[0], out_dims)
 
 
 class LogRing:

@@ -40,6 +40,7 @@ from .handlers import (
     uncondition,
 )
 from .enum_messenger import EnumMessenger, MarkovMessenger, markov
+from .vectorized_markov import VectorizedMarkovMessenger, vectorized_markov
 from .guide import GuideMessenger
 from .messenger import Messenger, block_messengers
 from .plate_messenger import PlateMessenger, plate_stack
@@ -93,6 +94,8 @@ __all__ = [
     "infer_config",
     "lift",
     "markov",
+    "vectorized_markov",
+    "VectorizedMarkovMessenger",
     "mask",
     "plate",
     "plate_stack",

@@ -46,7 +46,7 @@ class TraceMessenger(Messenger):
         self.trace = Trace(self.graph_type)
 
     def _postprocess_message(self, msg):
-        if msg["type"] in ("sample", "param") and (
+        if msg["type"] in ("sample", "param", "markov_chain") and (
             not self.param_only or msg["type"] == "param"
         ):
             site = dict(msg)
