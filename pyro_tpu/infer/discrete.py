@@ -1,13 +1,12 @@
 """MAP/posterior sampling of enumerated discrete latents.
 
 Ref ``pyro/infer/discrete.py:181`` (``infer_discrete``, ``_sample_posterior
-:41``).  The reference uses an adjoint backward pass over the einsum graph
-(``MapRing``/``SampleRing``); here the joint is sampled by reverse chain
-rule: sites are visited in reverse trace order, each site's conditional
-(given already-sampled downstream sites) is obtained by one
-``contract_to_tensor`` query, then factors are gathered at the sampled
-index.  O(n) contractions instead of one forward+backward pass — same
-semantics, simpler machinery; the adjoint optimization is a later round.
+:41``).  Like the reference's adjoint backward pass over the einsum graph
+(``MapRing``/``SampleRing``): ONE taping forward contraction + one
+backward sweep draws the exact joint posterior sample (or, at
+temperature=0, the exact joint MAP via the tropical ring) for every
+enumerated site simultaneously — contraction count is independent of
+the number of sites (``ops/einsum_sample.py``).
 """
 
 from __future__ import annotations
@@ -20,12 +19,9 @@ import jax.numpy as jnp
 
 from .. import poutine
 from ..ops import packed
-from ..ops.contract import contract_to_tensor
 from ..ops.packed import PackedTensor
-from ..ops.rings import LogRing
 from ..poutine.enum_messenger import EnumMessenger
 from ..poutine.util import prune_subsample_sites
-from .traceenum_elbo import _find_ordinal
 
 
 def _sample_posterior(model, first_available_dim, temperature, rng_key, *args, **kwargs):
@@ -54,44 +50,42 @@ def _sample_posterior(model, first_available_dim, temperature, rng_key, *args, *
             enum_sites[name] = site
             sum_dims.add(site["infer"]["_enumerate_symbol"])
 
-    samples = {}
-    keys = jax.random.split(key_sample, max(len(enum_sites), 1))
-    for i, (name, site) in enumerate(reversed(list(enum_sites.items()))):
-        symbol = site["infer"]["_enumerate_symbol"]
-        ordinal = _find_ordinal(trace, site)
-        tensor_tree = OrderedDict()
-        remaining_sum_dims = set()
-        for f in log_factors:
-            f_ordinal = frozenset(
-                d for d in f.dims if d not in sum_dims
-            )
-            tensor_tree.setdefault(f_ordinal, []).append(f)
-            remaining_sum_dims |= set(f.dims) & sum_dims
-        logits_packed = contract_to_tensor(
-            tensor_tree,
-            remaining_sum_dims,
-            target_ordinal=ordinal,
-            target_dims={symbol},
+    if any(
+        s["type"] == "markov_chain" and s["value"]
+        for s in trace.nodes.values()
+    ):
+        raise NotImplementedError(
+            "infer_discrete does not yet support vectorized_markov; "
+            "use pyro.markov (unrolled) for posterior sampling"
         )
-        # move the enum symbol's axis last, sample categorical
-        out_dims = "".join(d for d in logits_packed.dims if d != symbol)
-        full = packed.align(logits_packed, out_dims + symbol)
-        logits = full.value
-        if temperature == 0:
-            z = jnp.argmax(logits, axis=-1)
-        elif temperature == 1:
-            z = jax.random.categorical(keys[i], logits, axis=-1)
-        else:
-            z = jax.random.categorical(
-                keys[i], logits / temperature, axis=-1
-            )
-        z_packed = PackedTensor(z, out_dims)
+
+    # one taping forward contraction + one backward sweep samples the
+    # exact joint over ALL enumerated sites (ops/einsum_sample.py)
+    from ..ops.einsum_sample import sample_tensor_tree
+
+    tensor_tree = OrderedDict()
+    present_dims = set()
+    dim_to_size = {}
+    for f in log_factors:
+        f_ordinal = frozenset(d for d in f.dims if d not in sum_dims)
+        tensor_tree.setdefault(f_ordinal, []).append(f)
+        present_dims |= set(f.dims) & sum_dims
+        dim_to_size.update(zip(f.dims, f.shape))
+    sampled = sample_tensor_tree(
+        tensor_tree,
+        present_dims,
+        key_sample,
+        temperature=temperature,
+        dim_to_size=dim_to_size,
+    )
+    samples = {}
+    for name, site in enum_sites.items():
+        symbol = site["infer"]["_enumerate_symbol"]
+        if symbol in sampled:
+            z_packed = sampled[symbol]
+        else:  # degenerate: the site's dim appears in no factor
+            z_packed = PackedTensor(jnp.zeros((), jnp.int32), "")
         samples[name] = (site, z_packed)
-        # condition all factors on z
-        log_factors = [
-            packed.gather(f, z_packed, symbol) if symbol in f.dims else f
-            for f in log_factors
-        ]
 
     # build a value dict in unpacked (broadcast) shape
     data = {}

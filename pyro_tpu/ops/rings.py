@@ -99,23 +99,70 @@ def logsumexp_single(x: PackedTensor, out_dims: str) -> PackedTensor:
     )
 
 
-def logsumexp_contract(terms: List[PackedTensor], sum_dims: Set[str]) -> PackedTensor:
+def max_pair(x: PackedTensor, y: PackedTensor, out_dims: str) -> PackedTensor:
+    """Max-product (tropical) contraction of two packed log factors —
+    the Viterbi forward used for temperature=0 joint MAP decoding
+    (ref ``pyro/ops/einsum/torch_map.py``)."""
+    target = "".join(sorted(set(x.dims) | set(y.dims)))
+    val = align(x, target).value + align(y, target).value
+    axes = tuple(i for i, d in enumerate(target) if d not in out_dims)
+    if axes:
+        val = jnp.max(val, axis=axes)
+    return align(
+        PackedTensor(val, "".join(d for d in target if d in out_dims)),
+        out_dims,
+    )
+
+
+def max_single(x: PackedTensor, out_dims: str) -> PackedTensor:
+    axes = tuple(i for i, d in enumerate(x.dims) if d not in out_dims)
+    if not axes:
+        return align(x, out_dims) if x.dims != out_dims else x
+    v = jnp.max(x.value, axis=axes)
+    return align(
+        PackedTensor(v, "".join(d for d in x.dims if d in out_dims)),
+        out_dims,
+    )
+
+
+def logsumexp_contract(
+    terms: List[PackedTensor],
+    sum_dims: Set[str],
+    tape: List = None,
+    use_max: bool = False,
+) -> PackedTensor:
     """Contract a list of log factors, eliminating ``sum_dims``.
+
+    With ``tape`` given, every reduction step is recorded as
+    ``(operands, out_dims)`` in forward order — the backward-sampling
+    pass of ``ops/einsum_sample.py`` replays it in reverse to draw
+    exact joint posterior samples (ref ``ops/einsum/adjoint.py``'s
+    sample ring).  ``use_max=True`` switches to the tropical ring
+    (Viterbi) for temperature=0 MAP.
 
     The pairwise order comes from ``opt_einsum.contract_path`` (as the
     reference's einsum backend does, ``pyro/ops/einsum/__init__.py``):
-    a naive left-fold in list order can be catastrophically bad — for a
-    Markov chain whose emission factors are listed after all transition
+    The pairwise order comes from ``opt_einsum.contract_path``: a naive
+    left-fold in list order can be catastrophically bad — for a Markov
+    chain whose emission factors are listed after all transition
     factors it materializes the joint over every enumerated dim
     (exponential memory and float32 saturation) where the optimized
     path contracts the chain incrementally in O(T * K^2)."""
+    pair = max_pair if use_max else logsumexp_pair
+    single = max_single if use_max else logsumexp_single
+
+    def record(op, out_dims):
+        if tape is not None:
+            tape.append((op, out_dims))
+
     if len(terms) == 1 and not sum_dims:
         return terms[0]
     if len(terms) == 1:
         out_dims = "".join(
             d for d in terms[0].dims if d not in sum_dims
         )
-        return logsumexp_single(terms[0], out_dims)
+        record([terms[0]], out_dims)
+        return single(terms[0], out_dims)
     all_dims = set()
     for t in terms:
         all_dims |= set(t.dims)
@@ -138,7 +185,8 @@ def logsumexp_contract(terms: List[PackedTensor], sum_dims: Set[str]) -> PackedT
             involved |= set(t.dims)
         step_out = "".join(sorted(involved & remaining))
         if len(popped) == 1:
-            result = logsumexp_single(popped[0], step_out)
+            record([popped[0]], step_out)
+            result = single(popped[0], step_out)
         else:
             result = popped[0]
             for k in range(1, len(popped)):
@@ -148,7 +196,8 @@ def logsumexp_contract(terms: List[PackedTensor], sum_dims: Set[str]) -> PackedT
                 keep = (set(result.dims) | set(popped[k].dims)) & (
                     set(step_out) | later
                 )
-                result = logsumexp_pair(
+                record([result, popped[k]], "".join(sorted(keep)))
+                result = pair(
                     result, popped[k], "".join(sorted(keep))
                 )
         operands.append(result)
@@ -160,9 +209,17 @@ class LogRing:
     """Ref ``rings.py:178`` (LogRing): sum-product in log space; plate
     'product' is a plain sum over the plate axis."""
 
-    def __init__(self, cache=None, dim_to_size: Dict[str, int] = None):
+    def __init__(
+        self,
+        cache=None,
+        dim_to_size: Dict[str, int] = None,
+        tape: List = None,
+        use_max: bool = False,
+    ):
         self._cache = {} if cache is None else cache
         self._dim_to_size: Dict[str, int] = dict(dim_to_size or {})
+        self._tape = tape
+        self._use_max = use_max
 
     def _observe(self, term: PackedTensor):
         for d, s in zip(term.dims, term.shape):
@@ -176,7 +233,9 @@ class LogRing:
             return terms[0]
         if not terms:
             return PackedTensor(jnp.zeros(()), "")
-        return logsumexp_contract(list(terms), dims)
+        return logsumexp_contract(
+            list(terms), dims, tape=self._tape, use_max=self._use_max
+        )
 
     def product(self, term: PackedTensor, ordinal) -> PackedTensor:
         """Product over plate instances = sum of logs over plate axes."""
