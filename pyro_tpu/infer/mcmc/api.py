@@ -137,15 +137,26 @@ class MCMC:
                 )
 
         def _maybe_callback(stage, i, state):
-            """Stream hook_fn/progress from inside the compiled scan;
-            under vmap it fires once per chain per step."""
+            """Stream hook_fn/progress from inside the compiled scan.
+            Fires ONE host callback per step; with vectorized chains the
+            params carry a leading chain axis (all chains' stats in one
+            callback, not num_chains callbacks per step)."""
             if hook_fn is None and not progbar:
                 return
-            params = (
-                self.kernel.postprocess_fn(self.kernel._unravel(state.z))
-                if hook_fn is not None
-                else {}
-            )
+            if hook_fn is not None:
+                z = state.z
+                if z.ndim == 2:  # batched over chains
+                    params = jax.vmap(
+                        lambda f: self.kernel.postprocess_fn(
+                            self.kernel._unravel(f)
+                        )
+                    )(z)
+                else:
+                    params = self.kernel.postprocess_fn(
+                        self.kernel._unravel(z)
+                    )
+            else:
+                params = {}
             import functools
 
             jax.debug.callback(
@@ -193,9 +204,55 @@ class MCMC:
             collected = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[c for _, c in per_chain]
             )
-        else:
+        elif hook_fn is None and not progbar:
             run = jax.jit(jax.vmap(run_chain))
             last_state, collected = run(chain_keys)
+        else:
+            # callback-active vectorized path: scan over steps of a
+            # vmapped kernel step, so _maybe_callback fires once per
+            # step with all chains batched (steps callbacks total,
+            # not steps * chains)
+            def init_chain(key):
+                key_draw, key_state = jax.random.split(key)
+                return self.kernel.init_state(
+                    key_state, self.kernel._draw_init(key_draw)
+                )
+
+            def run_all(keys):
+                states = jax.vmap(init_chain)(keys)
+
+                def warm_step(states, i):
+                    states = jax.vmap(self.kernel.sample_step)(states)
+                    _maybe_callback("warmup", i, states)
+                    return states, None
+
+                states, _ = jax.lax.scan(
+                    warm_step, states, jnp.arange(self.warmup_steps)
+                )
+
+                def samp_step(states, i):
+                    states = jax.vmap(self.kernel.sample_step)(states)
+                    _maybe_callback("sample", i, states)
+                    out = {
+                        "z": states.z,
+                        "diverging": states.diverging,
+                        "accept_prob": states.accept_prob,
+                        "num_steps": states.num_steps,
+                        "step_size": states.adapt.step_size,
+                        "energy": states.energy,
+                    }
+                    return states, out
+
+                states, collected = jax.lax.scan(
+                    samp_step, states, jnp.arange(self.num_samples)
+                )
+                # scan stacks over steps: (S, C, ...) -> (C, S, ...)
+                collected = jax.tree.map(
+                    lambda x: jnp.swapaxes(x, 0, 1), collected
+                )
+                return states, collected
+
+            last_state, collected = jax.jit(run_all)(chain_keys)
         self._last_state = last_state
 
         # thinning

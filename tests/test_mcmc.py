@@ -163,9 +163,11 @@ def test_mcmc_hook_fn_save_params_chain_methods():
         pyro.sample("obs", dist.Normal(loc, scale), obs=jnp.array(0.5))
 
     calls = []
+    calls_params = []
 
     def hook(kernel, params, stage, i):
         calls.append((stage, int(i)))
+        calls_params.append(params["loc"])
 
     m = MCMC(
         NUTS(model, max_tree_depth=4),
@@ -178,7 +180,11 @@ def test_mcmc_hook_fn_save_params_chain_methods():
     m.run(rng_key=jax.random.key(0))
     assert set(m.get_samples()) == {"loc"}
     assert {c[0] for c in calls} == {"warmup", "sample"}
-    assert len(calls) == 20  # (5+5) steps x 2 chains
+    # ONE batched callback per step (all chains in one call), NOT
+    # steps x chains (VERDICT r2 item 10; ref api.py:48-85 semantics)
+    assert len(calls) == 10
+    # the streamed params carry the chain axis
+    assert all(np.shape(p) == (2,) for p in calls_params)
 
     m2 = MCMC(
         NUTS(model, max_tree_depth=4),
@@ -193,12 +199,17 @@ def test_mcmc_hook_fn_save_params_chain_methods():
     with pytest.raises(ValueError, match="chain_method"):
         MCMC(NUTS(model), 10, chain_method="bogus")
 
+    calls.clear()
+    calls_params.clear()
     m3 = MCMC(
         NUTS(model, max_tree_depth=4),
         num_samples=5,
         warmup_steps=5,
         num_chains=8,
         chain_method="parallel",
+        hook_fn=hook,
     )
     m3.run(rng_key=jax.random.key(1))
     assert m3.get_samples()["loc"].shape[0] == 40
+    assert len(calls) == 10  # still one callback per step at 8 chains
+    assert all(np.shape(p) == (8,) for p in calls_params)
