@@ -39,8 +39,21 @@ DMM_B, DMM_T, DMM_X, DMM_Z, DMM_H = 16, 20, 32, 16, 64
 # discrete HMM shapes (JSB-chorales-like, examples/hmm.py model_1)
 HMM_SEQS, HMM_T, HMM_DATA, HMM_HIDDEN = 20, 32, 51, 16
 
+# MXU-scale discrete HMM (reference profiler/hmm.py regime, hidden=256):
+# vectorized_markov turns the transition factors into (T*B, 256, 256)
+# batched log-matmuls that actually exercise the systolic array
+HMMX_SEQS, HMMX_T, HMMX_DATA, HMMX_HIDDEN = 32, 128, 51, 256
+
 # GaussianHMM shapes
 GHMM_T, GHMM_HIDDEN, GHMM_OBS = 10_000, 32, 4
+
+# heterogeneous (time-varying transition) posterior filter-sample shapes
+GFS_T, GFS_HIDDEN, GFS_OBS = 4_000, 16, 4
+
+# assumed per-chip peak for MFU accounting (TPU v5e: 197 TFLOP/s bf16;
+# conservative denominator for f32 programs).  Override with
+# PYRO_TPU_PEAK_FLOPS for other chips.
+PEAK_FLOPS = float(os.environ.get("PYRO_TPU_PEAK_FLOPS", 197e12))
 
 # NUTS settings
 NUTS_WARMUP, NUTS_SAMPLES = 500, 500
@@ -325,6 +338,97 @@ def _reference_hmm_body() -> None:
     print(n / (time.perf_counter() - t0))
 
 
+def _reference_hmm_mxu_body() -> None:
+    """Same discrete-HMM SVI at MXU-scale shapes (hidden=256, T=128):
+    the reference has no vectorized-markov path without funsor, so this
+    is its standard unrolled model_1."""
+    import torch
+
+    import pyro
+    import pyro.distributions as pdist
+    import pyro.poutine as poutine
+    from pyro.infer import SVI, TraceEnum_ELBO
+    from pyro.infer.autoguide import AutoDelta
+    from pyro.ops.indexing import Vindex
+    from pyro.optim import Adam
+
+    torch.manual_seed(0)
+    pyro.clear_param_store()
+
+    def model(sequences, lengths):
+        num_sequences, max_length, data_dim = sequences.shape
+        probs_x = pyro.sample(
+            "probs_x",
+            pdist.Dirichlet(0.9 * torch.eye(HMMX_HIDDEN) + 0.1).to_event(1),
+        )
+        probs_y = pyro.sample(
+            "probs_y",
+            pdist.Beta(0.1, 0.9)
+            .expand([HMMX_HIDDEN, data_dim])
+            .to_event(2),
+        )
+        tones_plate = pyro.plate("tones", data_dim, dim=-1)
+        with pyro.plate("sequences", num_sequences, dim=-2):
+            x = 0
+            for t in pyro.markov(range(max_length)):
+                with poutine.mask(mask=(t < lengths).unsqueeze(-1)):
+                    x = pyro.sample(
+                        f"x_{t}",
+                        pdist.Categorical(Vindex(probs_x)[..., x, :]),
+                        infer={"enumerate": "parallel"},
+                    )
+                    with tones_plate:
+                        pyro.sample(
+                            f"y_{t}",
+                            pdist.Bernoulli(
+                                Vindex(probs_y)[..., x.squeeze(-1), :]
+                            ),
+                            obs=sequences[:, t],
+                        )
+
+    guide = AutoDelta(
+        poutine.block(model, expose=["probs_x", "probs_y"])
+    )
+    sequences = (torch.rand(HMMX_SEQS, HMMX_T, HMMX_DATA) < 0.2).float()
+    lengths = torch.full((HMMX_SEQS,), HMMX_T)
+    elbo = TraceEnum_ELBO(max_plate_nesting=2)
+    svi = SVI(model, guide, Adam({"lr": 0.05}), elbo)
+    svi.step(sequences, lengths)  # warmup
+    n = 2
+    t0 = time.perf_counter()
+    for _ in range(n):
+        svi.step(sequences, lengths)
+    print(n / (time.perf_counter() - t0))
+
+
+def _reference_gfs_body() -> None:
+    """Heterogeneous GaussianHMM posterior sampling (time-varying
+    transition matrices) — the reference's O(log T) parallel-scan
+    sequential_gaussian_filter_sample on CPU torch."""
+    import torch
+
+    import pyro.distributions as pdist
+
+    torch.manual_seed(0)
+    init = pdist.Normal(torch.zeros(GFS_HIDDEN), 1.0).to_event(1)
+    trans_mat = 0.9 * torch.eye(GFS_HIDDEN) + 0.02 * torch.randn(
+        GFS_T, GFS_HIDDEN, GFS_HIDDEN
+    )
+    trans = pdist.Normal(torch.zeros(GFS_HIDDEN), 0.3).to_event(1)
+    obs_mat = torch.randn(GFS_HIDDEN, GFS_OBS) / GFS_HIDDEN**0.5
+    obs = pdist.Normal(torch.zeros(GFS_OBS), 0.5).to_event(1)
+    hmm = pdist.GaussianHMM(
+        init, trans_mat, trans, obs_mat, obs, duration=GFS_T
+    )
+    data = torch.randn(GFS_T, GFS_OBS)
+    hmm.rsample_posterior(data)  # warmup
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        hmm.rsample_posterior(data)
+    print(n / (time.perf_counter() - t0))
+
+
 def _reference_nuts_body() -> None:
     """eight_schools NUTS ESS/sec on torch pyro (single chain)."""
     import torch
@@ -492,6 +596,88 @@ def measure_ours_hmm() -> float:
     return reps * n / dt
 
 
+def measure_ours_hmm_vec() -> float:
+    """model_1v (vectorized_markov) at MXU-scale shapes: the transition
+    factors become (B*T, 256, 256) batched log-matmuls reduced in
+    ceil(log2 T) parallel-scan rounds."""
+    import argparse
+    import functools
+
+    import jax
+
+    from examples.hmm import model_1v, synthetic_sequences
+    from pyro_tpu import poutine
+    from pyro_tpu.infer import SVI, TraceEnum_ELBO
+    from pyro_tpu.infer.autoguide import AutoDelta
+    from pyro_tpu.optim import Adam
+
+    _fresh()
+    args = argparse.Namespace(hidden_dim=HMMX_HIDDEN)
+    sequences, lengths = synthetic_sequences(
+        jax.random.key(0), HMMX_SEQS, HMMX_T, HMMX_DATA
+    )
+    model = functools.partial(model_1v, args=args)
+    guide = AutoDelta(
+        poutine.block(model, expose=["probs_x", "probs_y"])
+    )
+    elbo = TraceEnum_ELBO(max_plate_nesting=3)
+    svi = SVI(model, guide, Adam({"lr": 0.05}), elbo)
+    n = 10
+    losses = svi.run_steps(n, sequences, lengths)
+    assert float(losses[-1]) == float(losses[-1])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = svi.run_steps(n, sequences, lengths)
+    dt = time.perf_counter() - t0
+    assert float(losses[-1]) == float(losses[-1])
+    return reps * n / dt
+
+
+def measure_ours_gfs() -> float:
+    """Heterogeneous (time-varying transition) GaussianHMM posterior
+    sampling at T=10,000 — exercises the O(log T) tree filter-sampler
+    for the general case (ops/gaussian.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    import pyro_tpu.distributions as dist
+
+    _fresh()
+    k = jax.random.split(jax.random.key(0), 4)
+    init = dist.Normal(jnp.zeros(GFS_HIDDEN), 1.0).to_event(1)
+    trans_mat = 0.9 * jnp.eye(GFS_HIDDEN) + 0.02 * jax.random.normal(
+        k[0], (GFS_T, GFS_HIDDEN, GFS_HIDDEN)
+    )
+    trans = dist.Normal(jnp.zeros(GFS_HIDDEN), 0.3).to_event(1)
+    obs_mat = jax.random.normal(
+        k[1], (GFS_HIDDEN, GFS_OBS)
+    ) / GFS_HIDDEN**0.5
+    obs = dist.Normal(jnp.zeros(GFS_OBS), 0.5).to_event(1)
+    data = jax.random.normal(k[2], (GFS_T, GFS_OBS))
+
+    # big arrays go in as ARGUMENTS: under the axon tunnel, closure
+    # constants make lowering pathologically slow
+    @jax.jit
+    def draw(key, data, trans_mat, obs_mat):
+        hmm = dist.GaussianHMM(
+            init, trans_mat, trans, obs_mat, obs, duration=GFS_T
+        )
+        return hmm.rsample_posterior(data, key)
+
+    float(draw(jax.random.key(1), data, trans_mat, obs_mat).sum())
+    n = 10
+    keys = [jax.random.key(i) for i in range(n)]
+    t0 = time.perf_counter()
+    acc = 0.0
+    for key in keys:
+        # host read = tunnel-safe sync
+        acc += float(draw(key, data, trans_mat, obs_mat).sum())
+    dt = time.perf_counter() - t0
+    assert acc == acc
+    return n / dt
+
+
 def measure_ours_nuts_ess() -> float:
     import jax
     import jax.numpy as jnp
@@ -581,21 +767,186 @@ def measure_ours_ghmm() -> float:
     return reps * n / (time.perf_counter() - t0)
 
 
+# =========================================================================
+# MFU accounting: XLA-counted FLOPs of each benchmark's dominant compiled
+# computation, divided by measured wall time and the chip's peak
+# =========================================================================
+
+
+def _xla_flops(fn, *args, **kwargs):
+    """FLOPs of jit(fn) per XLA's own cost model; None if unavailable."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", float("nan")))
+        if flops != flops or flops <= 0:
+            return None
+        return flops
+    except Exception:
+        return None
+
+
+def _svi_loss_flops(model, guide, elbo, *args):
+    """FLOPs of one forward loss eval; an SVI step (fwd+bwd+update) is
+    approximated as 3x forward (standard 1:2 fwd:bwd ratio)."""
+    import jax
+
+    fwd = _xla_flops(
+        lambda key: elbo.differentiable_loss(
+            model, guide, *args, rng_key=key
+        ),
+        jax.random.key(0),
+    )
+    return None if fwd is None else 3.0 * fwd
+
+
+def flops_vae():
+    import jax
+    import jax.numpy as jnp
+
+    from examples.vae import guide, model
+    from pyro_tpu.infer import Trace_ELBO
+
+    _fresh()
+    x = (
+        jax.random.uniform(jax.random.key(0), (BATCH, X_DIM)) < 0.5
+    ).astype(jnp.float32)
+    # initialize params outside trace
+    Trace_ELBO().loss(model, guide, x)
+    return _svi_loss_flops(model, guide, Trace_ELBO(), x)
+
+
+def flops_dmm():
+    import jax
+
+    from examples.dmm import guide, model, synthetic_data
+    from pyro_tpu.infer import Trace_ELBO
+
+    _fresh()
+    data = synthetic_data(jax.random.key(0), DMM_B, DMM_T)
+    Trace_ELBO().loss(model, guide, data)
+    return _svi_loss_flops(model, guide, Trace_ELBO(), data)
+
+
+def _flops_hmm(model_fn, hidden, seqs, t, data_dim, nesting):
+    import argparse
+    import functools
+
+    import jax
+
+    from examples.hmm import synthetic_sequences
+    from pyro_tpu import poutine
+    from pyro_tpu.infer import TraceEnum_ELBO
+    from pyro_tpu.infer.autoguide import AutoDelta
+
+    _fresh()
+    args = argparse.Namespace(hidden_dim=hidden)
+    sequences, lengths = synthetic_sequences(
+        jax.random.key(0), seqs, t, data_dim
+    )
+    model = functools.partial(model_fn, args=args)
+    guide = AutoDelta(
+        poutine.block(model, expose=["probs_x", "probs_y"])
+    )
+    elbo = TraceEnum_ELBO(max_plate_nesting=nesting)
+    elbo.loss(model, guide, sequences, lengths)
+    return _svi_loss_flops(model, guide, elbo, sequences, lengths)
+
+
+def flops_hmm():
+    from examples.hmm import model_1
+
+    return _flops_hmm(model_1, HMM_HIDDEN, HMM_SEQS, HMM_T, HMM_DATA, 2)
+
+
+def flops_hmm_vec():
+    from examples.hmm import model_1v
+
+    return _flops_hmm(
+        model_1v, HMMX_HIDDEN, HMMX_SEQS, HMMX_T, HMMX_DATA, 3
+    )
+
+
+def flops_ghmm():
+    """One log_prob call (the measured unit), straight from XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    import pyro_tpu.distributions as dist
+
+    _fresh()
+    k = jax.random.split(jax.random.key(0), 3)
+    init = dist.Normal(jnp.zeros(GHMM_HIDDEN), 1.0).to_event(1)
+    trans_mat = 0.9 * jnp.eye(GHMM_HIDDEN) + 0.01 * jax.random.normal(
+        k[0], (GHMM_HIDDEN, GHMM_HIDDEN)
+    )
+    trans = dist.Normal(jnp.zeros(GHMM_HIDDEN), 0.3).to_event(1)
+    obs_mat = jax.random.normal(
+        k[1], (GHMM_HIDDEN, GHMM_OBS)
+    ) / GHMM_HIDDEN**0.5
+    obs = dist.Normal(jnp.zeros(GHMM_OBS), 0.5).to_event(1)
+    hmm = dist.GaussianHMM(
+        init, trans_mat, trans, obs_mat, obs, duration=GHMM_T
+    )
+    data = jax.random.normal(k[2], (GHMM_T, GHMM_OBS))
+    return _xla_flops(hmm.log_prob, data)
+
+
+def flops_gfs():
+    import jax
+    import jax.numpy as jnp
+
+    import pyro_tpu.distributions as dist
+
+    _fresh()
+    k = jax.random.split(jax.random.key(0), 4)
+    init = dist.Normal(jnp.zeros(GFS_HIDDEN), 1.0).to_event(1)
+    trans_mat = 0.9 * jnp.eye(GFS_HIDDEN) + 0.02 * jax.random.normal(
+        k[0], (GFS_T, GFS_HIDDEN, GFS_HIDDEN)
+    )
+    trans = dist.Normal(jnp.zeros(GFS_HIDDEN), 0.3).to_event(1)
+    obs_mat = jax.random.normal(
+        k[1], (GFS_HIDDEN, GFS_OBS)
+    ) / GFS_HIDDEN**0.5
+    obs = dist.Normal(jnp.zeros(GFS_OBS), 0.5).to_event(1)
+    hmm = dist.GaussianHMM(
+        init, trans_mat, trans, obs_mat, obs, duration=GFS_T
+    )
+    data = jax.random.normal(k[2], (GFS_T, GFS_OBS))
+    return _xla_flops(
+        lambda key: hmm.rsample_posterior(data, key), jax.random.key(0)
+    )
+
+
+# name -> (ours_fn, reference_body, unit, flops_per_unit_fn)
 BENCHMARKS = {
     "vae_elbo_steps_per_sec": (
-        measure_ours_vae, "_reference_pyro_body", "steps/s"
+        measure_ours_vae, "_reference_pyro_body", "steps/s", flops_vae
     ),
     "dmm_elbo_steps_per_sec": (
-        measure_ours_dmm, "_reference_dmm_body", "steps/s"
+        measure_ours_dmm, "_reference_dmm_body", "steps/s", flops_dmm
     ),
     "hmm_enum_steps_per_sec": (
-        measure_ours_hmm, "_reference_hmm_body", "steps/s"
+        measure_ours_hmm, "_reference_hmm_body", "steps/s", flops_hmm
+    ),
+    "hmm_enum_mxu_steps_per_sec": (
+        measure_ours_hmm_vec,
+        "_reference_hmm_mxu_body",
+        "steps/s",
+        flops_hmm_vec,
     ),
     "nuts_ess_per_sec": (
-        measure_ours_nuts_ess, "_reference_nuts_body", "ess/s"
+        measure_ours_nuts_ess, "_reference_nuts_body", "ess/s", None
     ),
     "gaussianhmm_logprob_per_sec": (
-        measure_ours_ghmm, "_reference_ghmm_body", "calls/s"
+        measure_ours_ghmm, "_reference_ghmm_body", "calls/s", flops_ghmm
+    ),
+    "gaussianhmm_het_sample_per_sec": (
+        measure_ours_gfs, "_reference_gfs_body", "draws/s", flops_gfs
     ),
 }
 
@@ -613,7 +964,7 @@ def main() -> None:
 
     submetrics = {}
     ratios = []
-    for name, (ours_fn, ref_body, unit) in BENCHMARKS.items():
+    for name, (ours_fn, ref_body, unit, flops_fn) in BENCHMARKS.items():
         if name not in cache:
             try:
                 cache[name] = _run_reference(ref_body)
@@ -633,6 +984,17 @@ def main() -> None:
             entry["baseline"] = round(baseline, 4)
             entry["vs_baseline"] = round(value / baseline, 2)
             ratios.append(value / baseline)
+        if flops_fn is not None:
+            try:
+                flops_per_unit = flops_fn()
+            except Exception as e:
+                print(f"# flops {name} failed: {e}", file=sys.stderr)
+                flops_per_unit = None
+            if flops_per_unit:
+                entry["flops_per_unit"] = float(f"{flops_per_unit:.3g}")
+                entry["mfu"] = round(
+                    flops_per_unit * value / PEAK_FLOPS, 5
+                )
         submetrics[name] = entry
 
     geomean = (
@@ -649,6 +1011,7 @@ def main() -> None:
                 "unit": "steps/s",
                 "vs_baseline": headline.get("vs_baseline"),
                 "suite_geomean_vs_baseline": round(geomean, 2),
+                "peak_flops_assumed": PEAK_FLOPS,
                 "submetrics": submetrics,
             }
         )

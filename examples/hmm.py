@@ -424,6 +424,52 @@ def model_7(sequences, lengths, args, include_prior=True):
         pyro.sample("y", hmm_dist, obs=y)
 
 
+def model_1v(sequences, lengths, args, include_prior=True):
+    """model_1 with the time dimension *vectorized* via
+    ``pyro.vectorized_markov`` — one traced transition factor with time
+    as a tensor axis, eliminated by the O(log T) parallel-scan markov
+    product instead of unrolling T Python steps (ref
+    ``examples/contrib/funsor/hmm.py:592`` model_7).  Sequences batch
+    at dim=-3, time at dim=-2, tones at dim=-1."""
+    num_sequences, max_length, data_dim = sequences.shape
+    with poutine.mask(mask=include_prior):
+        probs_x = pyro.sample(
+            "probs_x",
+            dist.Dirichlet(0.9 * jnp.eye(args.hidden_dim) + 0.1).to_event(1),
+        )
+        probs_y = pyro.sample(
+            "probs_y",
+            dist.Beta(0.1, 0.9)
+            .expand((args.hidden_dim, data_dim))
+            .to_event(2),
+        )
+    tones_plate = pyro.plate("tones", data_dim, dim=-1)
+    with pyro.plate("sequences", num_sequences, dim=-3) as batch:
+        lengths_b = lengths[batch]
+        batch = batch[:, None]
+        x_prev = 0
+        for t in pyro.vectorized_markov(
+            name="time", size=max_length, dim=-2
+        ):
+            with poutine.mask(
+                mask=(t < lengths_b[:, None])[..., None]
+            ):
+                x_curr = pyro.sample(
+                    f"x_{t}",
+                    dist.Categorical(Vindex(probs_x)[..., x_prev, :]),
+                    infer={"enumerate": "parallel"},
+                )
+                with tones_plate:
+                    pyro.sample(
+                        f"y_{t}",
+                        dist.Bernoulli(
+                            Vindex(probs_y)[..., x_curr.squeeze(-1), :]
+                        ),
+                        obs=Vindex(sequences)[batch, t],
+                    )
+                x_prev = x_curr
+
+
 MODELS = {
     0: model_0,
     1: model_1,
@@ -433,6 +479,7 @@ MODELS = {
     5: model_5,
     6: model_6,
     7: model_7,
+    "1v": model_1v,
 }
 
 

@@ -158,6 +158,39 @@ class Categorical(Distribution):
     def log_prob(self, value):
         value = jnp.asarray(value)
         logits = self.logits
+        # When value's and logits' nontrivial batch axes are DISJOINT
+        # (enumerated value against enumerated parameters - the hot path
+        # of TraceEnum_ELBO at scale), a broadcast-join take_along_axis
+        # forces its VJP to scatter into a value_batch x logits_batch x K
+        # tensor (K^3-class memory).  Gather on the flat axes instead and
+        # transpose into broadcast order: the VJP is a scatter into
+        # logits' own shape.
+        l_batch = jnp.shape(logits)[:-1]
+        v_shape = jnp.shape(value)
+        r = max(len(v_shape), len(l_batch))
+        vs = (1,) * (r - len(v_shape)) + tuple(v_shape)
+        ls = (1,) * (r - len(l_batch)) + tuple(l_batch)
+        disjoint = all(v == 1 or l == 1 for v, l in zip(vs, ls))
+        if disjoint and r > 0:
+            K = self._num_events
+            v_axes = [i for i in range(r) if vs[i] > 1]
+            lp = jnp.take(
+                logits.reshape(ls + (K,)),
+                value.reshape(-1).astype(jnp.int32),
+                axis=-1,
+            )  # ls + (n_value_elems,)
+            lp = lp.reshape(ls + tuple(vs[i] for i in v_axes))
+            # transpose the trailing value axes into their broadcast
+            # positions; the displaced size-1 axes go to the end and are
+            # reshaped away
+            order = [
+                r + v_axes.index(i) if i in v_axes else i
+                for i in range(r)
+            ] + v_axes
+            lp = jnp.transpose(lp, order)
+            return lp.reshape(
+                tuple(max(v, l) for v, l in zip(vs, ls))
+            )
         value_b, logits_b = _broadcast_cat(value, logits)
         return jnp.take_along_axis(
             logits_b, value_b[..., None].astype(jnp.int32), axis=-1

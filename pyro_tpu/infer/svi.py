@@ -117,20 +117,64 @@ class SVI:
     # -- initialization ---------------------------------------------------------
     def _init(self, rng_key, args, kwargs) -> None:
         """Eagerly run one loss evaluation to (a) register all params in the
-        store, (b) fix max_plate_nesting, (c) init optimizer state."""
-        setup = getattr(self.loss_obj, "_setup", None)
-        if setup is not None:
-            setup(self.model, self.guide, args, kwargs)
-        try:
-            self.loss_obj.loss(
-                self.model, self.guide, *args, rng_key=rng_key, **kwargs
+        store, (b) fix max_plate_nesting, (c) init optimizer state.
+
+        The init eval runs on the HOST CPU backend when the default
+        device is an accelerator: it is a one-off eager op chain, and on
+        a tunneled TPU each eager op pays a device round trip (minutes
+        at large model shapes).  Registered params are moved to the
+        default device afterwards so the compiled step never sees
+        host-committed arguments."""
+        cpu = None
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+            except Exception:
+                cpu = None
+
+        def _to_dev(tree, device):
+            return jax.tree.map(
+                lambda x: jax.device_put(x, device)
+                if isinstance(x, jax.Array)
+                else x,
+                tree,
             )
-        except (ValueError, NotImplementedError):
-            # losses without a unit .loss (e.g. EnergyDistance)
-            self.loss_obj.differentiable_loss(
-                self.model, self.guide, *args, rng_key=rng_key, **kwargs
-            )
+
+        from contextlib import nullcontext
+
+        ctx = jax.default_device(cpu) if cpu is not None else nullcontext()
+        init_args = _to_dev(args, cpu) if cpu is not None else args
+        init_kwargs = _to_dev(kwargs, cpu) if cpu is not None else kwargs
+        if cpu is not None:
+            rng_key = jax.device_put(rng_key, cpu)
+        with ctx:
+            setup = getattr(self.loss_obj, "_setup", None)
+            if setup is not None:
+                setup(self.model, self.guide, init_args, init_kwargs)
+            try:
+                self.loss_obj.loss(
+                    self.model,
+                    self.guide,
+                    *init_args,
+                    rng_key=rng_key,
+                    **init_kwargs,
+                )
+            except (ValueError, NotImplementedError):
+                # losses without a unit .loss (e.g. EnergyDistance)
+                self.loss_obj.differentiable_loss(
+                    self.model,
+                    self.guide,
+                    *init_args,
+                    rng_key=rng_key,
+                    **init_kwargs,
+                )
         store = get_param_store()
+        if cpu is not None:
+            default = jax.devices()[0]
+            store._params = {
+                name: jax.device_put(value, default)
+                for name, value in store._params.items()
+            }
         params = store.get_all_unconstrained()
         if self._opt_state is None:
             self._opt_state = self.optim.init(params)
