@@ -278,17 +278,23 @@ class SineSkewed(Distribution):
         return self.base_dist.support
 
     def sample(self, key, sample_shape=()):
+        # sine-skewing is relative to the base's (circular) mean: keep y
+        # w.p. 0.5 + 0.5 sum_i skew_i sin(y_i - m_i), else reflect about
+        # m (ref ``sine_skewed.py:sample``)
         k1, k2 = jax.random.split(key)
         ys = self.base_dist.sample(k1, sample_shape)
+        m = self.base_dist.mean
         u = jax.random.uniform(k2, self.shape(sample_shape)[: -1] if self.event_shape else self.shape(sample_shape))
         mask = u < 0.5 + 0.5 * jnp.sum(
-            self.skewness * jnp.sin(ys), axis=-1
+            self.skewness * jnp.sin(ys - m), axis=-1
         )
-        return jnp.where(mask[..., None], ys, -ys)
+        return jnp.where(mask[..., None], ys, 2 * m - ys)
 
     def log_prob(self, value):
         base_lp = self.base_dist.log_prob(value)
-        sk = jnp.sum(self.skewness * jnp.sin(value), axis=-1)
+        sk = jnp.sum(
+            self.skewness * jnp.sin(value - self.base_dist.mean), axis=-1
+        )
         return base_lp + jnp.log1p(sk)
 
     def expand(self, batch_shape, _instance=None):
@@ -351,29 +357,22 @@ class SineBivariateVonMises(Distribution):
         super().__init__(batch_shape, (2,))
 
     def _log_normalizer(self):
-        """Series expansion of the normalizer (ref sine_bivariate docstring)."""
+        """Series expansion of the normalizer (ref sine_bivariate docstring):
+        C = 4 pi^2 sum_m C(2m,m) (rho^2/(4 k1 k2))^m I_m(k1) I_m(k2)."""
         k1 = self.phi_concentration
         k2 = self.psi_concentration
         rho = self.correlation
         m = jnp.arange(20)
-        shape = self.batch_shape + (20,)
-        fs = (
-            jsp.gammaln(2 * m + 1)
-            - 2 * jsp.gammaln(m + 1)
-            - jsp.gammaln(m + 1)  # binom(2m, m)/... adjusted below
-        )
         # log term_m = log C(2m, m) + m log(rho^2/(4 k1 k2)) + log I_m(k1) + log I_m(k2)
         log_binom = jsp.gammaln(2 * m + 1) - 2 * jsp.gammaln(m + 1)
         log_rho_term = m * jnp.log(
             jnp.clip(rho[..., None] ** 2 / (4 * k1[..., None] * k2[..., None]), 1e-37)
         )
-        log_iv1 = _log_iv(m, k1[..., None])
-        log_iv2 = _log_iv(m, k2[..., None])
+        log_iv1 = _log_iv(m, k1)
+        log_iv2 = _log_iv(m, k2)
         terms = log_binom + log_rho_term + log_iv1 + log_iv2
-        return (
-            jnp.log(jnp.asarray(4 * math.pi**2))
-            + k1 * 0
-            + jsp.logsumexp(terms + k1[..., None] * 0, axis=-1)
+        return jnp.log(jnp.asarray(4 * math.pi**2)) + jsp.logsumexp(
+            terms, axis=-1
         )
 
     def log_prob(self, value):
@@ -389,27 +388,51 @@ class SineBivariateVonMises(Distribution):
         )
         return un - self._log_normalizer()
 
-    def sample(self, key, sample_shape=()):
-        """Gibbs-free approximate sampler: sample phi from its marginal via
-        rejection against a von Mises envelope, then psi | phi exactly
-        (the conditional is von Mises)."""
+    def sample(self, key, sample_shape=(), max_tries=128):
+        """Exact sampler (ref ``sine_bivariate_von_mises.py:sample``):
+        draw phi from its exact marginal
+        ``p(phi) ∝ exp(k1 cos(phi-mu)) I_0(alpha(phi))`` by rejection
+        against a ``VonMises(mu, k1)`` envelope with constant bound
+        ``I_0(sqrt(k2^2 + rho^2))`` (I_0 is increasing and
+        ``alpha(phi) <= sqrt(k2^2 + rho^2)``), then psi | phi exactly —
+        the conditional is ``VonMises(nu + beta, alpha)``."""
         from .continuous import VonMises
 
-        k1, k2 = jax.random.split(key)
-        # approximate marginal of phi by VonMises(phi_loc, k1) (exact when
-        # rho=0); acceptable for moderate correlation
-        phi = VonMises(self.phi_loc, self.phi_concentration).sample(
-            k1, sample_shape
+        k2c = self.psi_concentration
+        rho = self.correlation
+        shape = tuple(sample_shape) + self.batch_shape
+        log_i0_max = _log_i0(jnp.sqrt(k2c**2 + rho**2))
+        envelope = VonMises(self.phi_loc, self.phi_concentration)
+
+        def alpha_of(phi):
+            return jnp.sqrt(
+                k2c**2 + (rho * jnp.sin(phi - self.phi_loc)) ** 2
+            )
+
+        def body(carry):
+            k, phi, accepted, tries = carry
+            k, kp, ku = jax.random.split(k, 3)
+            prop = envelope.sample(kp, sample_shape)
+            u = jax.random.uniform(ku, shape)
+            accept = u < jnp.exp(_log_i0(alpha_of(prop)) - log_i0_max)
+            phi = jnp.where(accepted, phi, prop)
+            return k, phi, accepted | accept, tries + 1
+
+        def cond(carry):
+            return (~jnp.all(carry[2])) & (carry[3] < max_tries)
+
+        key, kp0, ku0, kpsi = jax.random.split(key, 4)
+        phi0 = envelope.sample(kp0, sample_shape)
+        acc0 = jax.random.uniform(ku0, shape) < jnp.exp(
+            _log_i0(alpha_of(phi0)) - log_i0_max
         )
-        alpha = jnp.sqrt(
-            self.psi_concentration**2
-            + (self.correlation * jnp.sin(phi - self.phi_loc)) ** 2
+        _, phi, _, _ = jax.lax.while_loop(
+            cond, body, (key, phi0, acc0, 0)
         )
         beta = jnp.arctan2(
-            self.correlation * jnp.sin(phi - self.phi_loc),
-            self.psi_concentration,
+            rho * jnp.sin(phi - self.phi_loc), k2c
         )
-        psi = VonMises(self.psi_loc + beta, alpha).sample(k2)
+        psi = VonMises(self.psi_loc + beta, alpha_of(phi)).sample(kpsi)
         return jnp.stack([phi, psi], axis=-1)
 
     def expand(self, batch_shape, _instance=None):
@@ -421,6 +444,12 @@ class SineBivariateVonMises(Distribution):
             jnp.broadcast_to(self.psi_concentration, batch_shape),
             correlation=jnp.broadcast_to(self.correlation, batch_shape),
         )
+
+
+def _log_i0(z):
+    """log I_0(z), stable for large z via the exponentially-scaled i0e."""
+    z = jnp.asarray(z, jnp.result_type(z, jnp.float32))
+    return jnp.log(jax.scipy.special.i0e(z)) + jnp.abs(z)
 
 
 def _log_iv(m, z):
@@ -661,12 +690,24 @@ class Empirical(Distribution):
         idx = jax.random.categorical(
             key, logits, axis=-1, shape=tuple(sample_shape) + self.batch_shape
         )
-        samples = self.samples
-        idx_exp = idx.reshape(idx.shape + (1,) * len(self.event_shape))
-        # gather along the aggregation dim
-        return jnp.take(samples, idx, axis=self._aggregation_dim) if not self.batch_shape else jnp.take_along_axis(
-            samples, idx_exp[..., None].astype(jnp.int32), axis=self._aggregation_dim
+        if not self.batch_shape:
+            return jnp.take(
+                self.samples, idx, axis=self._aggregation_dim
+            )
+        # batched: samples is batch + (n,) + event and idx is
+        # sample_shape + batch; gather one atom per batch element along
+        # the aggregation dim, then drop that dim
+        ev = len(self.event_shape)
+        agg_axis = -1 - ev
+        extra = idx.ndim - len(self.batch_shape)  # rank of sample_shape
+        src = jnp.broadcast_to(
+            self.samples, idx.shape[:extra] + self.samples.shape
         )
+        idx_exp = idx.reshape(idx.shape + (1,) * (1 + ev))
+        out = jnp.take_along_axis(
+            src, idx_exp.astype(jnp.int32), axis=agg_axis
+        )
+        return jnp.squeeze(out, axis=agg_axis)
 
     def log_prob(self, value):
         """Log mass exactly at atoms (ref ``empirical.py:log_prob``)."""

@@ -571,9 +571,7 @@ class NanMaskedMultivariateNormal(MultivariateNormal):
             mask2, cov, jnp.where(eye_mask, 1.0, 0.0)
         )
         L = jnp.linalg.cholesky(cov_masked)
-        diff = jnp.where(
-            ok, safe - jnp.broadcast_to(self.loc, safe.shape), 0.0
-        )
+        diff = jnp.where(ok, safe - self.loc, 0.0)
         Lb = jnp.broadcast_to(L, diff.shape[:-1] + L.shape[-2:])
         y = jax.scipy.linalg.solve_triangular(
             Lb, diff[..., None], lower=True

@@ -209,3 +209,134 @@ def test_extra_gof(name, make):
     probs = np.exp(np.asarray(d.log_prob(samples)))
     gof = auto_goodness_of_fit(np.asarray(samples), probs)
     assert gof > TEST_FAILURE_RATE, (name, gof)
+
+
+# -- directional catalog tail: densities on circles, spheres, tori -----------
+#
+# Each case maps samples to coordinates in which the reference measure is
+# Lebesgue (angle on the circle; cylindrical equal-area (z, azimuth) on the
+# 2-sphere; the flat torus for bivariate angles), so exp(log_prob) is the
+# density w.r.t. those coordinates and the generic GOF applies (mirrors the
+# reference's tests/distributions/test_projected_normal.py and
+# test_sine_bivariate_von_mises.py sampler checks).
+
+def _sphere_coords(xyz):
+    """Area-preserving coordinates on S^2: (z, azimuth)."""
+    z = xyz[..., 2]
+    phi = np.arctan2(xyz[..., 1], xyz[..., 0])
+    return np.stack([z, phi], -1)
+
+
+DIRECTIONAL_CASES = [
+    (
+        "ProjectedNormal2",
+        lambda: dist.ProjectedNormal(jnp.asarray([1.5, 0.5])),
+        lambda x: np.arctan2(x[..., 1], x[..., 0])[..., None],
+    ),
+    (
+        "ProjectedNormal3",
+        lambda: dist.ProjectedNormal(jnp.asarray([1.0, 0.5, -0.5])),
+        _sphere_coords,
+    ),
+    (
+        "VonMises3D",
+        lambda: dist.VonMises3D(jnp.asarray([0.5, 0.0, 1.5])),
+        _sphere_coords,
+    ),
+    (
+        "SineBivariateVonMises",
+        lambda: dist.SineBivariateVonMises(
+            0.5, -0.5, 2.0, 3.0, correlation=0.8
+        ),
+        lambda x: x,
+    ),
+    (
+        "SineSkewedVonMises",
+        lambda: dist.SineSkewed(
+            dist.VonMises(jnp.asarray([0.2]), jnp.asarray([1.5])).to_event(1),
+            jnp.asarray([0.4]),
+        ),
+        lambda x: x,
+    ),
+    (
+        "TruncatedPolyaGamma",
+        lambda: dist.TruncatedPolyaGamma(()),
+        lambda x: x[..., None],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,make,coords", DIRECTIONAL_CASES, ids=[c[0] for c in DIRECTIONAL_CASES]
+)
+def test_directional_gof(name, make, coords):
+    d = make()
+    n = 20000
+    samples = d.sample(
+        jax.random.key(zlib.crc32(name.encode()) % 2**31), (n,)
+    )
+    probs = np.exp(np.asarray(d.log_prob(samples)))
+    x = coords(np.asarray(samples))
+    dim = x.shape[-1]
+    if dim == 1:
+        x = x[..., 0]
+    gof = auto_goodness_of_fit(x, probs, dim=dim)
+    assert gof > 1e-3, (name, gof)
+
+
+# -- combinatorial catalog tail: exact chi-square over enumerated support ----
+
+def _canonical(x):
+    return tuple(np.asarray(x).astype(np.int64).reshape(-1).tolist())
+
+
+COMBINATORIAL_CASES = [
+    (
+        "SpanningTree4",
+        lambda: dist.SpanningTree(
+            jnp.asarray([0.0, 0.5, -0.5, 0.3, -0.2, 0.8])
+        ),
+    ),
+    (
+        "OneOneMatching3",
+        lambda: dist.OneOneMatching(
+            jnp.asarray([[0.0, 0.5, -0.5], [0.2, 0.0, 0.4], [-0.3, 0.1, 0.0]])
+        ),
+    ),
+    (
+        "OneTwoMatching",
+        lambda: dist.OneTwoMatching(
+            jnp.asarray([[0.0, 0.5], [0.2, -0.1], [-0.3, 0.1], [0.4, 0.0]])
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,make", COMBINATORIAL_CASES, ids=[c[0] for c in COMBINATORIAL_CASES]
+)
+def test_combinatorial_gof(name, make):
+    """The sampler's empirical frequencies over the full enumerated support
+    match exp(log_prob) by multinomial chi-square (mirrors the reference's
+    tests/distributions/test_spanning_tree.py::test_sample_gof)."""
+    from pyro_tpu.distributions.testing.gof import multinomial_goodness_of_fit
+
+    d = make()
+    support = d.enumerate_support(expand=False)
+    probs = np.exp(np.asarray(d.log_prob(support)))
+    assert abs(probs.sum() - 1.0) < 1e-3, (name, probs.sum())
+    index = {_canonical(s): i for i, s in enumerate(np.asarray(support))}
+    n = 2000
+    keys = jax.random.split(jax.random.key(zlib.crc32(name.encode()) % 2**31), n)
+    try:
+        samples = jax.vmap(lambda k: d.sample(k))(keys)
+    except jax.errors.ConcretizationTypeError:
+        # host-side sampler (SpanningTree's C++ backend): loop instead
+        samples = jnp.stack([d.sample(k) for k in keys])
+    counts = np.zeros(len(index), dtype=np.int64)
+    for s in np.asarray(samples):
+        counts[index[_canonical(s)]] += 1
+    gof = multinomial_goodness_of_fit(
+        probs / probs.sum(), counts, total_count=n
+    )
+    assert gof > TEST_FAILURE_RATE, (name, gof)
