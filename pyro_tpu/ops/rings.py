@@ -59,8 +59,8 @@ def _shift(p: PackedTensor, out_dims: str):
 def logsumexp_pair(x: PackedTensor, y: PackedTensor, out_dims: str) -> PackedTensor:
     """log-space contraction of two packed tensors to out_dims.
 
-    The matmul-shaped case (ab,bc->ac) routes to the fused Pallas
-    logmatmulexp kernel on TPU."""
+    The matmul-shaped case (ab,bc->ac) routes to the max-shifted MXU
+    matmul with analytic VJP (ops/log_matmul.py)."""
     if (
         len(x.dims) == 2
         and len(y.dims) == 2
@@ -70,7 +70,7 @@ def logsumexp_pair(x: PackedTensor, y: PackedTensor, out_dims: str) -> PackedTen
         and x.dims[0] != x.dims[1]
         and y.dims[0] != y.dims[1]
     ):
-        from .pallas import logmatmulexp as _fused
+        from .log_matmul import logmatmulexp as _fused
 
         return PackedTensor(_fused(x.value, y.value), out_dims)
     xv, xshift = _shift(x, out_dims)

@@ -84,9 +84,3 @@ register(
     "pyro_tpu.distributions.discrete",
     "Binomial.approx_sample_thresh",
 )
-register(
-    "pallas_logmatmulexp",
-    "pyro_tpu.ops.pallas.log_einsum",
-    "ENABLED",
-    lambda v: None if isinstance(v, bool) else (_ for _ in ()).throw(ValueError("expected bool")),
-)
