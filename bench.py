@@ -509,6 +509,23 @@ def _fresh():
     return pyro
 
 
+def _host_data(fn, *args, **kwargs):
+    """Generate benchmark data with eager ops on the HOST CPU backend
+    (eager op chains over the tunneled TPU cost minutes), then ship the
+    arrays to the default device."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return fn(*args, **kwargs)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out = fn(*args, **kwargs)
+    return jax.tree.map(
+        lambda x: jax.device_put(x) if isinstance(x, jax.Array) else x,
+        out,
+    )
+
+
 def measure_ours_vae() -> float:
     import jax
     import jax.numpy as jnp
@@ -542,7 +559,7 @@ def measure_ours_dmm() -> float:
     from pyro_tpu.optim import ClippedAdam
 
     _fresh()
-    data = synthetic_data(jax.random.key(0), DMM_B, DMM_T)
+    data = _host_data(synthetic_data, jax.random.key(0), DMM_B, DMM_T)
     svi = SVI(
         model,
         guide,
@@ -575,8 +592,8 @@ def measure_ours_hmm() -> float:
 
     _fresh()
     args = argparse.Namespace(hidden_dim=HMM_HIDDEN)
-    sequences, lengths = synthetic_sequences(
-        jax.random.key(0), HMM_SEQS, HMM_T, HMM_DATA
+    sequences, lengths = _host_data(
+        synthetic_sequences, jax.random.key(0), HMM_SEQS, HMM_T, HMM_DATA
     )
     model = functools.partial(model_1, args=args)
     guide = AutoDelta(
@@ -613,8 +630,8 @@ def measure_ours_hmm_vec() -> float:
 
     _fresh()
     args = argparse.Namespace(hidden_dim=HMMX_HIDDEN)
-    sequences, lengths = synthetic_sequences(
-        jax.random.key(0), HMMX_SEQS, HMMX_T, HMMX_DATA
+    sequences, lengths = _host_data(
+        synthetic_sequences, jax.random.key(0), HMMX_SEQS, HMMX_T, HMMX_DATA
     )
     model = functools.partial(model_1v, args=args)
     guide = AutoDelta(
@@ -622,6 +639,9 @@ def measure_ours_hmm_vec() -> float:
     )
     elbo = TraceEnum_ELBO(max_plate_nesting=3)
     svi = SVI(model, guide, Adam({"lr": 0.05}), elbo)
+    # param shapes don't depend on batch/time size: initialize on a tiny
+    # slice so the one-off eager init eval costs seconds, not minutes
+    svi._init(jax.random.key(0), (sequences[:2, :8], lengths[:2]), {})
     n = 10
     losses = svi.run_steps(n, sequences, lengths)
     assert float(losses[-1]) == float(losses[-1])
@@ -792,14 +812,16 @@ def _xla_flops(fn, *args, **kwargs):
 
 def _svi_loss_flops(model, guide, elbo, *args):
     """FLOPs of one forward loss eval; an SVI step (fwd+bwd+update) is
-    approximated as 3x forward (standard 1:2 fwd:bwd ratio)."""
+    approximated as 3x forward (standard 1:2 fwd:bwd ratio).  Data goes
+    in as jit ARGUMENTS - closure constants make axon lowering slow."""
     import jax
 
     fwd = _xla_flops(
-        lambda key: elbo.differentiable_loss(
-            model, guide, *args, rng_key=key
+        lambda key, *a: elbo.differentiable_loss(
+            model, guide, *a, rng_key=key
         ),
         jax.random.key(0),
+        *args,
     )
     return None if fwd is None else 3.0 * fwd
 
@@ -827,7 +849,7 @@ def flops_dmm():
     from pyro_tpu.infer import Trace_ELBO
 
     _fresh()
-    data = synthetic_data(jax.random.key(0), DMM_B, DMM_T)
+    data = _host_data(synthetic_data, jax.random.key(0), DMM_B, DMM_T)
     Trace_ELBO().loss(model, guide, data)
     return _svi_loss_flops(model, guide, Trace_ELBO(), data)
 
@@ -845,15 +867,15 @@ def _flops_hmm(model_fn, hidden, seqs, t, data_dim, nesting):
 
     _fresh()
     args = argparse.Namespace(hidden_dim=hidden)
-    sequences, lengths = synthetic_sequences(
-        jax.random.key(0), seqs, t, data_dim
+    sequences, lengths = _host_data(
+        synthetic_sequences, jax.random.key(0), seqs, t, data_dim
     )
     model = functools.partial(model_fn, args=args)
     guide = AutoDelta(
         poutine.block(model, expose=["probs_x", "probs_y"])
     )
     elbo = TraceEnum_ELBO(max_plate_nesting=nesting)
-    elbo.loss(model, guide, sequences, lengths)
+    elbo.loss(model, guide, sequences[:2, :8], lengths[:2])  # init params
     return _svi_loss_flops(model, guide, elbo, sequences, lengths)
 
 

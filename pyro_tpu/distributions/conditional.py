@@ -113,7 +113,12 @@ class ConditionalTransformedDistribution(ConditionalDistribution):
 
     def condition(self, context):
         base_dist = self.base_dist.condition(context)
-        transforms = [t.condition(context) for t in self.transforms]
+        # with_cache mirrors the reference flows' cache_size=1 default:
+        # forward-only conditional flows (planar, radial, ...) are scored
+        # at their own samples via the (x, y) memo
+        transforms = [
+            t.condition(context).with_cache() for t in self.transforms
+        ]
         return TransformedDistribution(base_dist, transforms)
 
     def clear_cache(self):

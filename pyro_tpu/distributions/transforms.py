@@ -54,7 +54,14 @@ class Transform:
         return tuple(shape)
 
     def with_cache(self, cache_size=1):
-        return self  # JAX arrays are immutable; caching is unnecessary
+        """Return a view that memoizes the last (x, y) pair so forward-only
+        flows (Planar, Radial, Sylvester, ...) can be scored at their own
+        samples without a closed-form inverse (torch ``cache_size=1``
+        semantics).  Identity-based: a fresh jit trace allocates fresh
+        tracer objects, so stale cached tracers are never matched."""
+        if cache_size == 0:
+            return self
+        return _CachedTransform(self)
 
     def __eq__(self, other):
         return self is other
@@ -64,6 +71,74 @@ class Transform:
 
     def __repr__(self):
         return self.__class__.__name__ + "()"
+
+
+class _CachedTransform(Transform):
+    """Identity-memoizing view of a transform (torch ``cache_size=1``).
+
+    ``__call__`` records the exact ``(x, y)`` objects; ``_inverse`` returns
+    the recorded ``x`` when handed the *same* ``y`` object, falling back to
+    the base inverse otherwise.  This is what lets a guide score the value
+    it just sampled through a flow with no closed-form inverse — the same
+    mechanism as ``torch.distributions.transforms.Transform`` caching
+    (ref ``transforms.py:77-100``)."""
+
+    def __init__(self, base: Transform):
+        super().__init__()
+        self._base = base
+        self._cached_x_y: Optional[tuple] = None
+
+    @property
+    def domain(self):  # type: ignore[override]
+        return self._base.domain
+
+    @property
+    def codomain(self):  # type: ignore[override]
+        return self._base.codomain
+
+    @property
+    def bijective(self):  # type: ignore[override]
+        return self._base.bijective
+
+    @property
+    def sign(self):  # type: ignore[override]
+        return self._base.sign
+
+    def __call__(self, x):
+        cached = self._cached_x_y
+        if cached is not None and cached[0] is x:
+            return cached[1]
+        y = self._base(x)
+        self._cached_x_y = (x, y)
+        return y
+
+    def _inverse(self, y):
+        cached = self._cached_x_y
+        if cached is not None and cached[1] is y:
+            return cached[0]
+        x = self._base._inverse(y)
+        self._cached_x_y = (x, y)
+        return x
+
+    def log_abs_det_jacobian(self, x, y):
+        return self._base.log_abs_det_jacobian(x, y)
+
+    def forward_shape(self, shape):
+        return self._base.forward_shape(shape)
+
+    def inverse_shape(self, shape):
+        return self._base.inverse_shape(shape)
+
+    def with_cache(self, cache_size=1):
+        return self if cache_size else self._base
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._base, name)
+
+    def __repr__(self):
+        return f"Cached({self._base!r})"
 
 
 class _InverseTransform(Transform):
@@ -102,6 +177,9 @@ class _InverseTransform(Transform):
     def inverse_shape(self, shape):
         return self._base.forward_shape(shape)
 
+    def with_cache(self, cache_size=1):
+        return self._base.with_cache(cache_size).inv
+
     def __repr__(self):
         return f"{self._base}.inv"
 
@@ -110,6 +188,11 @@ class ComposeTransform(Transform):
     def __init__(self, parts):
         super().__init__()
         self.parts = list(parts)
+
+    def with_cache(self, cache_size=1):
+        return ComposeTransform(
+            [p.with_cache(cache_size) for p in self.parts]
+        )
 
     @property
     def domain(self):  # type: ignore[override]
@@ -817,6 +900,15 @@ def _transform_to_positive_definite(constraint):
     return ComposeTransform(
         [LowerCholeskyTransform(), CholeskyTransform().inv]
     )
+
+
+@transform_to.register(constraints.sphere)
+def _transform_to_sphere(constraint):
+    # surjection (radial projection), registered only in transform_to —
+    # mirrors ref transforms/__init__.py:111
+    from .transforms_extra import Normalize
+
+    return Normalize()
 
 
 __all__ = [

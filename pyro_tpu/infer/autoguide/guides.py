@@ -545,6 +545,11 @@ class AutoNormalizingFlow(AutoContinuous):
         transforms = self._init_transform_fn(self.latent_dim)
         if not isinstance(transforms, (list, tuple)):
             transforms = [transforms]
+        # cache (x, y) through sampling so forward-only flows (Planar,
+        # Radial, ...) can be scored at their own sample without an
+        # inverse — ref guides.py:1061 (AutoNormalizingFlow.get_posterior
+        # wraps with .with_cache())
+        transforms = [t.with_cache() for t in transforms]
         base = Normal(jnp.zeros(self.latent_dim), 1.0).to_event(1)
         return TransformedDistribution(base, list(transforms))
 

@@ -39,9 +39,19 @@ def flax_module(name: str, nn_module, *args, rng_key=None, **kwargs) -> Callable
     First call initializes via ``nn_module.init(key, *args, **kwargs)``;
     subsequent calls reuse the registered params.
     """
+    from ..params.param_store import _PARAM_STORE
+
     if rng_key is None:
         rng_key = jax.random.key(0)
-    if name not in _MODULE_REGISTRY:
+    # re-init if never seen OR the store was cleared since registration —
+    # the reference's pyro.module re-registers on every call because the
+    # torch module owns its tensors (primitives.py:429); here the store
+    # owns them, so detect eviction and rebuild
+    registered = name in _MODULE_REGISTRY and all(
+        param_with_module_name(name, p) in _PARAM_STORE
+        for p in _MODULE_REGISTRY[name][1]
+    )
+    if not registered:
         variables = nn_module.init(rng_key, *args, **kwargs)
         leaves, treedef = _flatten_with_paths(variables)
         _MODULE_REGISTRY[name] = (treedef, [p for p, _ in leaves])

@@ -116,3 +116,27 @@ def test_auto_iaf_normal_guide():
     losses = [svi.step(data) for _ in range(1000)]
     assert np.isfinite(losses).all()
     assert np.mean(losses[-50:]) < np.mean(losses[:50])
+
+
+def test_auto_normalizing_flow_forward_only():
+    """AutoNormalizingFlow with a flow that has NO closed-form inverse
+    (planar) trains: the guide scores its own sample through the
+    with_cache (x, y) memo, as the reference's cache_size=1 flows do."""
+    from pyro_tpu.distributions.transforms import iterated, planar
+    from pyro_tpu.infer.autoguide import AutoNormalizingFlow
+
+    data = jnp.array([1.0, 2.0, 3.0])
+
+    def model(data):
+        a = pyro.sample("a", dist.Normal(0.0, 10.0))
+        b = pyro.sample("b", dist.Normal(0.0, 10.0))
+        with pyro.plate("data", 3):
+            pyro.sample("obs", dist.Normal(a + b, 1.0), obs=data)
+
+    guide = AutoNormalizingFlow(
+        model, lambda dim: iterated(2, planar, "anf_pl", dim)
+    )
+    svi = SVI(model, guide, Adam({"lr": 0.01}), Trace_ELBO(num_particles=8))
+    losses = [svi.step(data) for _ in range(300)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-50:]) < np.mean(losses[:50])
