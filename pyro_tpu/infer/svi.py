@@ -170,9 +170,12 @@ class SVI:
                 )
         store = get_param_store()
         if cpu is not None:
-            default = jax.devices()[0]
+            # device_put WITHOUT an explicit device: the array lands on
+            # the default device but stays UNCOMMITTED.  Committed params
+            # force jit onto a slow dispatch path under the tunneled TPU
+            # plugin (measured 25x slower per SVI step).
             store._params = {
-                name: jax.device_put(value, default)
+                name: jax.device_put(value)
                 for name, value in store._params.items()
             }
         params = store.get_all_unconstrained()
