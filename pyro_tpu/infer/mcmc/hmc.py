@@ -169,6 +169,7 @@ class HMC(MCMCKernel):
         self.adapt_mass_matrix = adapt_mass_matrix
         self.full_mass = full_mass
         self.target_accept_prob = target_accept_prob
+        self.max_plate_nesting = max_plate_nesting
         self.init_strategy = init_strategy
         self.init_values = init_values
         # filled by setup()
@@ -189,6 +190,7 @@ class HMC(MCMCKernel):
                 init_params=init_params,
                 init_values=self.init_values,
                 rng_key=rng_key,
+                max_plate_nesting=self.max_plate_nesting,
             )
             dict_potential = info.potential_fn
             self.postprocess_fn = info.postprocess_fn

@@ -96,6 +96,7 @@ class NUTS(HMC):
             adapt_mass_matrix=adapt_mass_matrix,
             full_mass=full_mass,
             target_accept_prob=target_accept_prob,
+            max_plate_nesting=max_plate_nesting,
             init_strategy=init_strategy,
             init_values=init_values,
         )

@@ -47,6 +47,7 @@ def get_potential_fn(
     model_kwargs=None,
     prototype_trace=None,
     rng_key=None,
+    max_plate_nesting=None,
 ):
     model_kwargs = model_kwargs or {}
     if rng_key is None:
@@ -56,16 +57,43 @@ def get_potential_fn(
             poutine.seed(model, rng_key=rng_key)
         ).get_trace(*model_args, **model_kwargs)
         prototype_trace = prune_subsample_sites(prototype_trace)
-    latents = _latent_sites(prototype_trace)
-    if not latents:
+    all_latents = _latent_sites(prototype_trace)
+    if not all_latents:
         raise ValueError("model has no latent sample sites")
-    for name, site in latents.items():
+    # discrete latents with enumerate support are marginalized out of the
+    # potential (ref mcmc/util.py:244 TraceEinsumEvaluator: HMC/NUTS runs
+    # on the continuous sites of the ENUMERATED model); samples contain
+    # only continuous sites — recover discrete posteriors with
+    # infer_discrete, as in the reference
+    enum_sites = []
+    latents = {}
+    for name, site in all_latents.items():
         if getattr(site["fn"], "is_discrete", False):
-            raise NotImplementedError(
-                f"site '{name}' is discrete; HMC/NUTS requires continuous "
-                "latents (enumerate discrete sites via TraceEnum machinery "
-                "or use config_enumerate + infer_discrete)"
-            )
+            if getattr(site["fn"], "has_enumerate_support", False):
+                enum_sites.append(name)
+            else:
+                raise NotImplementedError(
+                    f"site '{name}' is discrete with no enumerate "
+                    "support; HMC/NUTS requires continuous or "
+                    "enumerable latents"
+                )
+        else:
+            latents[name] = site
+    if enum_sites and not latents:
+        raise ValueError(
+            "all latent sites are discrete; use infer_discrete or "
+            "discrete inference instead of HMC/NUTS"
+        )
+    if enum_sites and max_plate_nesting is None:
+        # guess from the prototype trace's plate depth
+        max_plate_nesting = max(
+            (
+                len(site["cond_indep_stack"])
+                for site in prototype_trace.nodes.values()
+                if site["type"] == "sample"
+            ),
+            default=0,
+        )
     transforms = {
         name: biject_to(site["fn"].support) for name, site in latents.items()
     }
@@ -82,18 +110,58 @@ def get_potential_fn(
             for name, value in unconstrained.items()
         }
 
-    def potential_fn(z: Dict) -> jnp.ndarray:
-        """-log p(constrained(z), obs) - log|det J(z)|."""
-        constrained = constrain(z)
+    def _log_joint_plain(constrained: Dict) -> jnp.ndarray:
         cond_model = poutine.condition(model, data=constrained)
         trace = poutine.trace(cond_model).get_trace(
             *model_args, **model_kwargs
         )
         trace = prune_subsample_sites(trace)
-        log_joint = trace.log_prob_sum(
+        return trace.log_prob_sum(
             site_filter=lambda name, site: not site["infer"].get(
                 "_deterministic"
             )
+        )
+
+    def _log_joint_enum(constrained: Dict) -> jnp.ndarray:
+        """log Σ_discrete p(z_cont, z_disc, obs): trace the conditioned
+        model under parallel enumeration and contract the enumerated dims
+        with the TraceEnum machinery (empty guide ⇒ the DiCE expectation
+        reduces to the marginal log density)."""
+        from ...infer.enum import config_enumerate
+        from ...infer.traceenum_elbo import _compute_dice_elbo
+        from ...poutine.enum_messenger import EnumMessenger
+
+        first_dim = -1 - int(max_plate_nesting)
+        cond_model = poutine.condition(model, data=constrained)
+        enum_model = EnumMessenger(first_available_dim=first_dim)(
+            poutine.seed(
+                config_enumerate(cond_model), rng_key=jax.random.key(0)
+            )
+        )
+        model_trace = poutine.trace(enum_model).get_trace(
+            *model_args, **model_kwargs
+        )
+        model_trace = prune_subsample_sites(model_trace)
+        model_trace.compute_log_prob(
+            site_filter=lambda name, site: not site["infer"].get(
+                "_do_not_score"
+            )
+            and not site["infer"].get("_deterministic")
+        )
+        model_trace.pack_tensors()
+        guide_trace = poutine.trace(lambda *a, **k: None).get_trace(
+            *model_args, **model_kwargs
+        )
+        guide_trace.pack_tensors(model_trace.plate_to_symbol)
+        return _compute_dice_elbo(model_trace, guide_trace)
+
+    def potential_fn(z: Dict) -> jnp.ndarray:
+        """-log p(constrained(z), obs) - log|det J(z)|."""
+        constrained = constrain(z)
+        log_joint = (
+            _log_joint_enum(constrained)
+            if enum_sites
+            else _log_joint_plain(constrained)
         )
         for name, t in transforms.items():
             ladj = t.log_abs_det_jacobian(z[name], constrained[name])
@@ -199,6 +267,7 @@ def initialize_model(
     init_params: Optional[Dict] = None,
     init_values: Optional[Dict] = None,
     rng_key=None,
+    max_plate_nesting=None,
 ) -> ModelInfo:
     """Ref ``mcmc/util.py:370-505``.
 
@@ -225,10 +294,20 @@ def initialize_model(
         prototype_trace,
         unconstrain,
     ) = get_potential_fn(
-        proto_model, model_args, model_kwargs, rng_key=k_proto
+        proto_model,
+        model_args,
+        model_kwargs,
+        rng_key=k_proto,
+        max_plate_nesting=max_plate_nesting,
     )
 
-    latents = _latent_sites(prototype_trace)
+    # only sites the potential runs over (discrete enumerable latents are
+    # marginalized out and carry no transform)
+    latents = {
+        name: site
+        for name, site in _latent_sites(prototype_trace).items()
+        if name in transforms
+    }
     proto_unconstrained = unconstrain(
         {name: site["value"] for name, site in latents.items()}
     )
@@ -255,6 +334,7 @@ def initialize_model(
                 {
                     name: tr.nodes[name]["value"]
                     for name in latents
+                    if name in transforms
                 }
             )
 
