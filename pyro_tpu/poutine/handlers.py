@@ -40,6 +40,12 @@ class TraceMessenger(Messenger):
     def get_trace(self) -> Trace:
         return self.trace
 
+    def __call__(self, fn):
+        # decorating a function with a bare TraceMessenger (e.g.
+        # ``@poutine.trace(graph_type=...)``) yields a TraceHandler, as in
+        # the reference (``trace_messenger.py:TraceMessenger.__call__``)
+        return TraceHandler(self, fn)
+
     def _reset(self):
         # fresh trace on NonlocalExit re-execution (ref
         # ``trace_messenger.py:_reset``, used by queue/pqueue loops)
@@ -513,6 +519,11 @@ def queue(
                     )
                     return ftr(*args, **kwargs)
                 except NonlocalExit as site_container:
+                    # reset surviving outer frames (e.g. a user's trace
+                    # handler around this queue) so the re-execution does
+                    # not see stale sites — ref handlers.py queue:
+                    # site_container.reset_stack()
+                    site_container.reset_stack()
                     for tr in extend_fn(
                         ftr.msngr.get_trace(),
                         site_container.site,
@@ -538,17 +549,25 @@ def _accepts_num_samples(fn):
 
 
 class EqualizeMessenger(Messenger):
-    """Force the sample/param statements matching ``sites`` to share the
-    value of the first matching statement (ref
-    ``poutine/equalize_messenger.py:14``); used e.g. to tie parameters
-    across per-category submodels."""
+    """Force the sample/param statements matching ``sites`` (regular
+    expressions, full-matched against site names) to share the value of
+    the first matching statement (ref ``poutine/equalize_messenger.py``).
 
-    def __init__(self, sites, type="sample"):
+    With ``keep_dist=False`` (default) the second and subsequent matches
+    are replaced by masked Delta sites (pure value-tying); with
+    ``keep_dist=True`` their distributions are kept and the sites marked
+    observed — equivalent to conditioning the model on all matches being
+    equal."""
+
+    def __init__(self, sites, type="sample", keep_dist=False):
+        import re
+
         super().__init__()
         if isinstance(sites, str):
             sites = [sites]
-        self.sites = list(sites)
+        self._patterns = [re.compile(s) for s in sites]
         self.type = type
+        self.keep_dist = keep_dist
         self._value = None
 
     def __enter__(self):
@@ -556,14 +575,24 @@ class EqualizeMessenger(Messenger):
         return super().__enter__()
 
     def _is_matching(self, msg):
-        return msg["type"] == self.type and msg["name"] in self.sites
+        return msg["type"] == self.type and any(
+            p.fullmatch(msg["name"]) is not None for p in self._patterns
+        )
 
     def _pyro_sample(self, msg):
         if self.type == "sample" and self._is_matching(msg):
             if self._value is not None:
                 msg["value"] = self._value
-                msg["done"] = True
-                msg["infer"] = dict(msg.get("infer", {}), _equalized=True)
+                msg["is_observed"] = True
+                if not self.keep_dist:
+                    from ..distributions import Delta
+
+                    msg["infer"] = dict(
+                        msg.get("infer", {}), _deterministic=True
+                    )
+                    msg["fn"] = Delta(
+                        self._value, event_dim=msg["fn"].event_dim
+                    ).mask(False)
 
     def _pyro_post_sample(self, msg):
         if self.type == "sample" and self._is_matching(msg):
@@ -582,9 +611,9 @@ class EqualizeMessenger(Messenger):
                 self._value = msg["value"]
 
 
-def equalize(fn=None, sites=None, type="sample"):
+def equalize(fn=None, sites=None, type="sample", keep_dist=False):
     """Dual-use handler for :class:`EqualizeMessenger`."""
-    msngr = EqualizeMessenger(sites, type=type)
+    msngr = EqualizeMessenger(sites, type=type, keep_dist=keep_dist)
     return msngr if fn is None else msngr(fn)
 
 
