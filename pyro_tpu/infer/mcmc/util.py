@@ -314,6 +314,18 @@ def initialize_model(
 
     if init_params is not None:
         initial = init_params
+    elif callable(init_strategy):
+        # reference-parity: initialize_model accepts the autoguide
+        # init_to_* strategies (ref mcmc/util.py:370 init_strategy=
+        # init_to_uniform); apply per latent site, then unconstrain
+        initial = unconstrain(
+            {
+                name: jnp.asarray(
+                    init_strategy(site), jnp.result_type(float)
+                )
+                for name, site in latents.items()
+            }
+        )
     elif init_values is not None:
         merged = {
             name: jnp.asarray(

@@ -287,3 +287,41 @@ def test_all_discrete_raises():
         MCMC(NUTS(model), num_samples=10, warmup_steps=10).run(
             rng_key=jax.random.key(0)
         )
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    ["median", "sample", "uniform", "feasible", "value"],
+)
+def test_init_strategies(strategy):
+    """initialize_model accepts the autoguide init_to_* callables
+    (ref tests/infer/test_initialization.py + mcmc/util.py:370)."""
+    from pyro_tpu.infer.autoguide.initialization import (
+        init_to_feasible,
+        init_to_median,
+        init_to_sample,
+        init_to_uniform,
+        init_to_value,
+    )
+
+    data = 1.0 + 0.5 * jax.random.normal(jax.random.key(0), (50,))
+
+    def model(data):
+        loc = pyro.sample("loc", dist.Normal(0.0, 10.0))
+        scale = pyro.sample("scale", dist.LogNormal(0.0, 1.0))
+        with pyro.plate("data", data.shape[0]):
+            pyro.sample("obs", dist.Normal(loc, scale), obs=data)
+
+    strat = {
+        "median": init_to_median,
+        "sample": init_to_sample,
+        "uniform": init_to_uniform,
+        "feasible": init_to_feasible,
+        "value": init_to_value(
+            values={"loc": jnp.asarray(1.0), "scale": jnp.asarray(0.5)}
+        ),
+    }[strategy]
+    kernel = NUTS(model, init_strategy=strat)
+    samples = _run(kernel, 200, 200, data)
+    np.testing.assert_allclose(samples["loc"].mean(), 1.0, atol=0.2)
+    np.testing.assert_allclose(samples["scale"].mean(), 0.5, atol=0.2)
