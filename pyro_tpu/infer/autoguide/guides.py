@@ -358,6 +358,8 @@ class AutoContinuous(AutoGuide):
         }
 
     def __call__(self, *args, **kwargs):
+        from contextlib import ExitStack
+
         if self.prototype_trace is None:
             self._setup_prototype(*args, **kwargs)
         posterior = self.get_posterior(*args, **kwargs)
@@ -367,6 +369,7 @@ class AutoContinuous(AutoGuide):
             infer={"is_auxiliary": True},
         )
         unconstrained = self._unravel_batched(latent)
+        plates = self._create_plates(*args, **kwargs)
         result = {}
         for name, site in self.prototype_trace.nodes.items():
             if not _is_latent(site):
@@ -382,10 +385,19 @@ class AutoContinuous(AutoGuide):
                 log_density = jnp.sum(
                     log_density, axis=tuple(range(-extra, 0))
                 )
-            result[name] = pyro_sample(
-                name,
-                Delta(value, log_density=-log_density, event_dim=event_dim),
-            )
+            # re-enter the model's plates for this site so the delta's
+            # batch dims carry the right cond_indep_stack frames (ref
+            # ``guides.py:823-830``)
+            with ExitStack() as stack:
+                for f in self._prototype_frames.get(name, ()):
+                    if f.name in plates:
+                        stack.enter_context(plates[f.name])
+                result[name] = pyro_sample(
+                    name,
+                    Delta(
+                        value, log_density=-log_density, event_dim=event_dim
+                    ),
+                )
         return result
 
     def _loc_scale_params(self):

@@ -329,22 +329,37 @@ class DoMessenger(Messenger):
         self._intervener_id = str(id(self))
 
     def _pyro_sample(self, msg):
+        import warnings
+
+        import jax.numpy as _jnp
+
         name = msg["name"]
         if (
-            name in self.data
-            and msg["infer"].get("_intervener_id") != self._intervener_id
+            msg["infer"].get("_intervener_id") != self._intervener_id
+            and self.data.get(name) is not None
         ):
-            if msg["infer"].get("_intervener_id") is None and msg["is_observed"]:
-                # split: record original observation under a new name
-                new_msg = dict(msg)
-                new_msg["name"] = name + "__CF"
-                new_msg["infer"] = dict(msg["infer"])
-                new_msg["infer"]["_intervener_id"] = self._intervener_id
-                apply_stack(new_msg)
+            if msg["infer"].get("_intervener_id") is not None:
+                warnings.warn(
+                    f"Attempting to intervene on variable {name} multiple "
+                    "times, this is almost certainly incorrect behavior",
+                    RuntimeWarning,
+                )
             msg["infer"] = dict(msg["infer"])
             msg["infer"]["_intervener_id"] = self._intervener_id
-            intervention = self.data[name]
-            msg["value"] = intervention
+
+            # split node (ref ``do_messenger.py:73``): a fresh site under
+            # the ORIGINAL name whose value does not propagate — it stays
+            # a free sample (or picks up an observation from an enclosing
+            # condition handler), giving SWIG counterfactual semantics
+            new_msg = dict(msg)
+            new_msg["infer"] = dict(msg["infer"])
+            new_msg["cond_indep_stack"] = ()  # avoid entering plates twice
+            apply_stack(new_msg)
+
+            # the continuing message carries the intervention into the
+            # model's return flow, recorded under a mangled name
+            msg["name"] = name + "__CF"
+            msg["value"] = _jnp.asarray(self.data[name])
             msg["is_observed"] = True
             msg["stop"] = True
             msg["done"] = True
