@@ -93,6 +93,7 @@ class SVI:
         self.num_samples = num_samples
         self._opt_state: Optional[Dict[str, Any]] = None
         self._update_fn = None
+        self._loss_state: Dict[str, Any] = {}
         self._param_names: Optional[tuple] = None
         self._rng_key = jax.random.key(0)
         self._initialized = False
@@ -188,6 +189,18 @@ class SVI:
                         value
                     )
         self._param_names = tuple(sorted(params))
+        # concrete auxiliary loss state discovered by the init eval
+        # (e.g. TraceGraph decaying-average baselines), carried through
+        # the jitted step; keep any state already accumulated
+        if hasattr(self.loss_obj, "pop_loss_state"):
+            discovered = {
+                k: jax.device_put(v)
+                for k, v in self.loss_obj.pop_loss_state().items()
+            }
+            discovered.update(getattr(self, "_loss_state", None) or {})
+            self._loss_state = discovered
+        else:
+            self._loss_state = {}
         self._build_update_fn()
         self._initialized = True
 
@@ -200,22 +213,30 @@ class SVI:
             self.optim,
         )
 
-        def loss_fn(unconstrained, rng_key, dyn, hstatic):
+        # losses with auxiliary functional state (TraceGraph's decaying-
+        # average baselines) thread it through the jitted update as an
+        # extra carry; stateless losses carry an empty dict
+        stateful = hasattr(elbo, "pop_loss_state")
+
+        def loss_fn(unconstrained, rng_key, loss_state, dyn, hstatic):
             args, kwargs = _merge_args(dyn, hstatic)
+            state_kw = {"loss_state": loss_state} if stateful else {}
             with ParamsMessenger(unconstrained, store):
-                return elbo.differentiable_loss(
-                    model, guide, *args, rng_key=rng_key, **kwargs
+                loss = elbo.differentiable_loss(
+                    model, guide, *args, rng_key=rng_key, **kwargs, **state_kw
                 )
+            new_state = elbo.pop_loss_state() if stateful else loss_state
+            return loss, new_state
 
-        def update(params, opt_state, rng_key, dyn, hstatic):
-            loss_val, grads = jax.value_and_grad(loss_fn)(
-                params, rng_key, dyn, hstatic
-            )
+        def update(params, opt_state, loss_state, rng_key, dyn, hstatic):
+            (loss_val, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, rng_key, loss_state, dyn, hstatic)
             new_params, new_opt_state = optim.update(grads, opt_state, params)
-            return loss_val, new_params, new_opt_state
+            return loss_val, new_params, new_opt_state, new_state
 
-        self._update_fn = jax.jit(update, static_argnums=(4,))
-        self._loss_fn = jax.jit(loss_fn, static_argnums=(3,))
+        self._update_fn = jax.jit(update, static_argnums=(5,))
+        self._loss_fn = jax.jit(loss_fn, static_argnums=(4,))
         self._loss_fn_raw = loss_fn  # unjitted, for abstract structure checks
         self._scan_fn = None  # invalidate run_steps cache (closes over update)
 
@@ -239,7 +260,9 @@ class SVI:
         ):
             try:
                 jax.eval_shape(
-                    lambda p, k, d: self._loss_fn_raw(p, k, d, hstatic),
+                    lambda p, k, d: self._loss_fn_raw(
+                        p, k, self._loss_state, d, hstatic
+                    ),
                     params,
                     key,
                     dyn,
@@ -248,15 +271,19 @@ class SVI:
                 self._init(key, args, kwargs)
                 params = store.get_all_unconstrained()
         try:
-            loss_val, new_params, self._opt_state = self._update_fn(
-                params, self._opt_state, key, dyn, hstatic
+            loss_val, new_params, self._opt_state, self._loss_state = (
+                self._update_fn(
+                    params, self._opt_state, self._loss_state, key, dyn, hstatic
+                )
             )
         except _MissingParam:
             # a param site materialized only under this step's control flow
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
-            loss_val, new_params, self._opt_state = self._update_fn(
-                params, self._opt_state, key, dyn, hstatic
+            loss_val, new_params, self._opt_state, self._loss_state = (
+                self._update_fn(
+                    params, self._opt_state, self._loss_state, key, dyn, hstatic
+                )
             )
         store.set_all_unconstrained(new_params)
         return float(jax.device_get(loss_val))
@@ -285,33 +312,37 @@ class SVI:
         # through the device tunnel.
         if getattr(self, "_scan_fn", None) is None:
 
-            @functools.partial(jax.jit, static_argnums=(4,))
-            def scan_fn(params, opt_state, keys, dyn, hstatic):
+            @functools.partial(jax.jit, static_argnums=(5,))
+            def scan_fn(params, opt_state, loss_state, keys, dyn, hstatic):
                 def body(carry, k):
-                    params, opt_state = carry
-                    loss, params, opt_state = update(
-                        params, opt_state, k, dyn, hstatic
+                    params, opt_state, loss_state = carry
+                    loss, params, opt_state, loss_state = update(
+                        params, opt_state, loss_state, k, dyn, hstatic
                     )
-                    return (params, opt_state), loss
+                    return (params, opt_state, loss_state), loss
 
-                (params, opt_state), losses = jax.lax.scan(
-                    body, (params, opt_state), keys
+                (params, opt_state, loss_state), losses = jax.lax.scan(
+                    body, (params, opt_state, loss_state), keys
                 )
-                return params, opt_state, losses
+                return params, opt_state, loss_state, losses
 
             self._scan_fn = scan_fn
 
         keys = jax.random.split(key, num_steps)
         dyn, hstatic = _partition_args(args, kwargs)
         try:
-            new_params, self._opt_state, losses = self._scan_fn(
-                params, self._opt_state, keys, dyn, hstatic
+            new_params, self._opt_state, self._loss_state, losses = (
+                self._scan_fn(
+                    params, self._opt_state, self._loss_state, keys, dyn, hstatic
+                )
             )
         except _MissingParam:
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
-            new_params, self._opt_state, losses = self._scan_fn(
-                params, self._opt_state, keys, dyn, hstatic
+            new_params, self._opt_state, self._loss_state, losses = (
+                self._scan_fn(
+                    params, self._opt_state, self._loss_state, keys, dyn, hstatic
+                )
             )
         store.set_all_unconstrained(new_params)
         return jax.device_get(losses)
@@ -325,11 +356,15 @@ class SVI:
         params = store.get_all_unconstrained()
         dyn, hstatic = _partition_args(args, kwargs)
         try:
-            loss_val = self._loss_fn(params, key, dyn, hstatic)
+            loss_val, _ = self._loss_fn(
+                params, key, self._loss_state, dyn, hstatic
+            )
         except _MissingParam:
             self._init(key, args, kwargs)
             params = store.get_all_unconstrained()
-            loss_val = self._loss_fn(params, key, dyn, hstatic)
+            loss_val, _ = self._loss_fn(
+                params, key, self._loss_state, dyn, hstatic
+            )
         return float(jax.device_get(loss_val))
 
     def run(self, *args, num_steps=None, **kwargs):

@@ -90,32 +90,53 @@ class TraceGraph_ELBO(ELBO):
             surrogate = surrogate - bl  # sign flips with -surrogate below
         return -elbo, -surrogate
 
-    _baselines: dict = {}
-
     def _decaying_baseline(self, name, dc, beta):
-        # host-side running average (not inside jit-differentiated path;
-        # treated as a constant via stop_gradient semantics of python float)
-        prev = self._baselines.get(name)
-        avg = jax.lax.stop_gradient(jnp.mean(dc))
+        """Exponential moving average of the downstream cost, used as the
+        baseline.  The EMA is FUNCTIONAL state: it enters through
+        ``loss_state`` (threaded by SVI through its jitted update/scan as
+        an extra carry) and the updated value is collected from
+        ``pop_loss_state``.  Matches the reference, which keeps
+        ``__baseline_avg_downstream_cost_<name>`` in the param store and
+        uses the OLD average as the baseline (``tracegraph_elbo.py:
+        use_decaying_avg_baseline``) — using the current step's own cost
+        would cancel the score-function signal exactly."""
+        key = "__baseline_avg_downstream_cost_" + name
+        if not hasattr(self, "_bl_out"):
+            self._bl_in, self._bl_out = {}, {}
+        prev = self._bl_in.get(key)
         if prev is None:
-            new = avg
-        else:
-            new = beta * prev + (1 - beta) * avg
-        self._baselines[name] = new
-        return new
+            prev = jnp.zeros(jnp.shape(dc))
+        new = beta * prev + (1 - beta) * jax.lax.stop_gradient(dc)
+        self._bl_out[key] = new
+        return prev
 
     def _compute_downstream_costs(self, model_trace, guide_trace, guide_order):
-        """Cost to the 'right' of each guide site (ref
-        ``tracegraph_elbo.py:_compute_downstream_costs``), using trace order
-        as the dependency relation."""
+        """Cost downstream of each guide site (ref
+        ``tracegraph_elbo.py:_compute_downstream_costs``).
+
+        Execution order bounds the true dependency relation in each trace:
+        a term can only depend on values computed before it.  So for guide
+        site g we include
+
+        * ``-log q(w)`` for guide sites w sampled at-or-after g in the
+          GUIDE (earlier guide sites cannot depend on g's value), and
+        * ``log p(w | ...)`` for model sites w executing at-or-after g's
+          own position in the MODEL — this catches model densities of
+          sites sampled *earlier* in the guide but conditioned on g in
+          the model (e.g. p(z3 | z2) when the guide samples z3 before
+          z2), which guide-order pruning would wrongly drop and bias the
+          estimator.
+
+        Terms included that do not actually depend on g add variance but
+        never bias (their expectation against the score function is
+        zero); the reference prunes further using its dense trace graph."""
         model_order = [
             name
             for name, site in model_trace.nodes.items()
             if site["type"] == "sample"
             and not site["infer"].get("_do_not_score")
         ]
-        stacks_model = get_plate_stacks(model_trace)
-        stacks_guide = get_plate_stacks(guide_trace)
+        model_position = {name: i for i, name in enumerate(model_order)}
 
         downstream = {}
         position = {name: i for i, name in enumerate(guide_order)}
@@ -128,35 +149,26 @@ class TraceGraph_ELBO(ELBO):
                 mft.add(
                     (s["cond_indep_stack"], -s["unscaled_log_prob"] * _as_scale(s))
                 )
-            # model sites paired with downstream guide sites + all
-            # observation/model-only sites after this site's first use
-            downstream_names = set(guide_order[i:])
+            # model terms from g's own model position onward (auxiliary
+            # guide-only sites conservatively take every model term)
+            cutoff = model_position.get(name, 0)
             for mname in model_order:
-                msite = model_trace.nodes[mname]
-                if mname in downstream_names or (
-                    mname not in position
-                    and self._model_site_is_downstream(
-                        mname, name, model_order, guide_order, position
-                    )
-                ):
+                if model_position[mname] >= cutoff:
+                    msite = model_trace.nodes[mname]
                     mft.add((msite["cond_indep_stack"], msite["log_prob"]))
             downstream[name] = mft
         return downstream
 
-    @staticmethod
-    def _model_site_is_downstream(mname, gname, model_order, guide_order, position):
-        # observed/model-only sites: downstream if they appear in the model
-        # at/after the guide site's corresponding model position
-        if gname not in model_order:
-            return True
-        return model_order.index(mname) >= model_order.index(gname)
-
-    def differentiable_loss(self, model, guide, *args, rng_key=None, **kwargs):
+    def differentiable_loss(
+        self, model, guide, *args, rng_key=None, loss_state=None, **kwargs
+    ):
         self._setup(model, guide, args, kwargs)
         if rng_key is None:
             from ..poutine.runtime import _next_eager_key
 
             rng_key = _next_eager_key()
+        self._bl_in = dict(loss_state) if loss_state else {}
+        self._bl_out = {}
         loss = 0.0
         surrogate = 0.0
         for model_trace, guide_trace in self._get_traces(
@@ -168,6 +180,13 @@ class TraceGraph_ELBO(ELBO):
             loss = loss + lp / self.num_particles
             surrogate = surrogate + sp / self.num_particles
         return surrogate + jax.lax.stop_gradient(loss - surrogate)
+
+    def pop_loss_state(self):
+        """Updated auxiliary loss state (decaying-average baselines) from
+        the most recent ``differentiable_loss`` call; SVI threads this
+        through its jitted step as a functional carry."""
+        out, self._bl_out = getattr(self, "_bl_out", {}), {}
+        return out
 
     loss_and_grads = differentiable_loss
 

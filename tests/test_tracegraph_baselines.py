@@ -113,20 +113,28 @@ def test_decaying_avg_baseline_reduces_variance():
         store = pyro.get_param_store()
         params = store.get_all_unconstrained()
 
-        def loss_fn(params, key):
-            with ParamsMessenger(params, store):
-                return elbo.differentiable_loss(
-                    model, guide, rng_key=key
-                )
+        # discover the baseline-state structure with one eager eval, then
+        # thread it functionally, exactly as SVI's jitted update does
+        elbo.differentiable_loss(
+            model, guide, rng_key=jax.random.key(9), loss_state={}
+        )
+        state = elbo.pop_loss_state()
 
-        gfn = jax.jit(jax.grad(loss_fn))
+        def loss_fn(params, key, state):
+            with ParamsMessenger(params, store):
+                loss = elbo.differentiable_loss(
+                    model, guide, rng_key=key, loss_state=state
+                )
+            return loss, elbo.pop_loss_state()
+
+        gfn = jax.jit(jax.grad(loss_fn, has_aux=True))
         # warm the running baseline before measuring
         keys = jax.random.split(jax.random.key(1), n + 100)
         grads = []
         for i, k in enumerate(keys):
-            g = gfn(params, k)["q"]
+            g, state = gfn(params, k, state)
             if i >= 100:
-                grads.append(float(g))
+                grads.append(float(g["q"]))
         return float(np.var(grads))
 
     v_without = variance(False)
