@@ -677,25 +677,33 @@ def measure_ours_gfs() -> float:
     data = jax.random.normal(k[2], (GFS_T, GFS_OBS))
 
     # big arrays go in as ARGUMENTS: under the axon tunnel, closure
-    # constants make lowering pathologically slow
+    # constants make lowering pathologically slow.  All n draws run as
+    # ONE launch (lax.map over keys, same per-draw program as the torch
+    # loop) so the tunnel's ~30 ms dispatch is paid once, not per draw.
+    n = 10
+
     @jax.jit
-    def draw(key, data, trans_mat, obs_mat):
+    def draw_many(keys, data, trans_mat, obs_mat):
         hmm = dist.GaussianHMM(
             init, trans_mat, trans, obs_mat, obs, duration=GFS_T
         )
-        return hmm.rsample_posterior(data, key)
 
-    float(draw(jax.random.key(1), data, trans_mat, obs_mat).sum())
-    n = 10
-    keys = [jax.random.key(i) for i in range(n)]
+        def one(key):
+            return hmm.rsample_posterior(data, key).sum()
+
+        return jax.lax.map(one, keys).sum()
+
+    keys = jax.random.split(jax.random.key(1), n)
+    float(draw_many(keys, data, trans_mat, obs_mat))  # compile + warmup
+    reps = 3
     t0 = time.perf_counter()
     acc = 0.0
-    for key in keys:
+    for r in range(reps):
         # host read = tunnel-safe sync
-        acc += float(draw(key, data, trans_mat, obs_mat).sum())
+        acc += float(draw_many(keys, data, trans_mat, obs_mat))
     dt = time.perf_counter() - t0
     assert acc == acc
-    return n / dt
+    return reps * n / dt
 
 
 def measure_ours_nuts_ess() -> float:
