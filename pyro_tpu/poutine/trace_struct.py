@@ -23,6 +23,8 @@ class Trace:
         assert graph_type in ("flat", "dense")
         self.graph_type = graph_type
         self.nodes: "OrderedDict[str, Dict[str, Any]]" = OrderedDict()
+        self._succ: Dict[Any, set] = {}
+        self._pred: Dict[Any, set] = {}
 
     # -- container protocol -------------------------------------------------
     def __contains__(self, name: str) -> bool:
@@ -51,7 +53,70 @@ class Trace:
         new.nodes = OrderedDict(
             (name, dict(site)) for name, site in self.nodes.items()
         )
+        new._succ = {k: set(v) for k, v in self._succ.items()}
+        new._pred = {k: set(v) for k, v in self._pred.items()}
         return new
+
+    # -- DAG structure (ref ``trace_struct.py:60-120,168-200``) --------------
+    def _register(self, node) -> None:
+        if node not in self._succ:
+            self._succ[node] = set()
+            self._pred[node] = set()
+            if node not in self.nodes:
+                self.nodes[node] = {"name": node, "type": None}
+
+    def add_edge(self, n1, n2) -> None:
+        """Directed edge n1 -> n2, creating placeholder nodes as needed."""
+        self._register(n1)
+        self._register(n2)
+        self._succ[n1].add(n2)
+        self._pred[n2].add(n1)
+
+    def successors(self, node):
+        return set(self._succ.get(node, ()))
+
+    def predecessors(self, node):
+        return set(self._pred.get(node, ()))
+
+    @property
+    def edges(self):
+        return [
+            (n1, n2) for n1, succ in self._succ.items() for n2 in succ
+        ]
+
+    def remove_node(self, node) -> None:
+        for p in self._pred.get(node, ()):
+            self._succ[p].discard(node)
+        for s in self._succ.get(node, ()):
+            self._pred[s].discard(node)
+        self._succ.pop(node, None)
+        self._pred.pop(node, None)
+        self.nodes.pop(node, None)
+
+    def _dfs(self, node, visited: set):
+        if node in visited:
+            return
+        visited.add(node)
+        yield node
+        for s in self._succ.get(node, ()):
+            yield from self._dfs(s, visited)
+
+    def topological_sort(self, reverse: bool = False):
+        """Kahn's algorithm over the edge DAG (ref
+        ``trace_struct.py:topological_sort``)."""
+        indeg = {n: len(self._pred.get(n, ())) for n in self._succ}
+        ready = [n for n, d in indeg.items() if d == 0]
+        out = []
+        while ready:
+            n = ready.pop()
+            out.append(n)
+            for s in sorted(self._succ.get(n, ()), key=repr):
+                indeg[s] -= 1
+                if indeg[s] == 0:
+                    ready.append(s)
+        if len(out) != len(indeg):
+            raise ValueError("graph has a cycle")
+        return list(reversed(out)) if reverse else out
 
     # -- log-prob machinery --------------------------------------------------
     def compute_log_prob(self, site_filter=lambda name, site: True) -> None:

@@ -563,3 +563,64 @@ def test_arg_kwarg_error(model_guide):
     model, _ = model_guide
     with pytest.raises(TypeError):
         poutine.trace(_seeded(model)).get_trace(1, 2, bogus=3)
+
+
+# -- DAG structure (ref tests/poutine/test_trace_struct.py) -----------------
+
+EDGE_SETS = [
+    [(1, 2), (1, 3), (3, 4), (3, 5), (4, 6), (4, 7)],
+    [(1, 2), (3, 5), (1, 4), (1, 3), (5, 6), (6, 7)],
+]
+
+
+@pytest.mark.parametrize("edges", EDGE_SETS, ids=["tree", "chain"])
+def test_topological_sort(edges):
+    import itertools
+
+    for perm in itertools.permutations(edges):
+        tr = Trace()
+        for n1, n2 in perm:
+            tr.add_edge(n1, n2)
+        top_sort = tr.topological_sort()
+        expected_nodes = set().union(*edges)
+        assert len(top_sort) == len(expected_nodes)
+        assert set(top_sort) == expected_nodes
+        ranks = {n: rank for rank, n in enumerate(top_sort)}
+        for n1, n2 in edges:
+            assert ranks[n1] < ranks[n2]
+
+
+@pytest.mark.parametrize("edges", EDGE_SETS, ids=["tree", "chain"])
+def test_connectivity_on_removal(edges):
+    tr = Trace()
+    for e1, e2 in edges:
+        tr.add_edge(e1, e2)
+    top_sort = tr.topological_sort()
+    while top_sort:
+        num_nodes = len(list(tr._dfs(1, set())))
+        assert num_nodes == len(top_sort)
+        tr.remove_node(top_sort.pop())
+
+
+# -- nested handler reset (ref tests/poutine/test_nesting.py) ---------------
+
+
+def test_nested_reset():
+    def nested_model():
+        pyro.sample("internal0", dist.Bernoulli(0.5))
+        with poutine.escape(
+            escape_fn=lambda msg: msg["name"] == "internal2"
+        ):
+            pyro.sample("internal1", dist.Bernoulli(0.5))
+            pyro.sample("internal2", dist.Bernoulli(0.5))
+            pyro.sample("internal3", dist.Bernoulli(0.5))
+
+    with poutine.trace() as t2:
+        with poutine.block(hide=["internal2"]):
+            with poutine.trace() as t1:
+                try:
+                    _seeded(nested_model)()
+                except NonlocalExit as site_container:
+                    site_container.reset_stack()
+                    assert "internal1" not in t1.trace.nodes
+                    assert "internal1" in t2.trace.nodes
