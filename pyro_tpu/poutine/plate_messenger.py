@@ -186,7 +186,11 @@ class PlateMessenger(Messenger):
             # ops are tracers under jit even for constants
             indices = np.arange(self.size)
         else:
-            indices = self._subsample_site()
+            # cached per plate object (ref ``subsample_messenger``): a
+            # plate iterated again — e.g. the inner loop of two nested
+            # sequential plates — reuses its indices instead of
+            # re-registering the subsample site
+            indices = self.indices
             if isinstance(indices, jax.core.Tracer):
                 raise ValueError(
                     f"sequential plate('{self.name}') with subsampling "

@@ -624,3 +624,39 @@ def test_nested_reset():
                     site_container.reset_stack()
                     assert "internal1" not in t1.trace.nodes
                     assert "internal1" in t2.trace.nodes
+
+
+# -- sequential plates (ref tests/poutine/test_mapdata.py) ------------------
+
+
+def test_nested_sequential_plate():
+    means = [jax.random.normal(jax.random.key(i), (2,)) for i in range(8)]
+    stds = [
+        jnp.abs(jax.random.normal(jax.random.key(10 + i), (2,)))
+        for i in range(6)
+    ]
+
+    def model(means, stds):
+        a_plate = pyro.plate("a", len(means), 2)
+        b_plate = pyro.plate("b", len(stds), 3)
+        return [
+            [
+                pyro.sample(f"x_{i}{j}", dist.Normal(means[i], stds[j]))
+                for j in b_plate
+            ]
+            for i in a_plate
+        ]
+
+    xs = poutine.seed(model, rng_key=jax.random.key(0))(means, stds)
+    assert len(xs) == 2
+    assert len(xs[0]) == 3
+
+    tr = poutine.trace(_seeded(model)).get_trace(means, stds)
+    sampled = [
+        n
+        for n, s in tr.nodes.items()
+        if s["type"] == "sample" and n.startswith("x_")
+    ]
+    assert len(sampled) == 6
+    for name in sampled:
+        assert tr.nodes[name]["value"].shape == (2,)
