@@ -1,0 +1,492 @@
+"""Enumerated-ELBO plate-interaction correctness: vectorized-plate models
+must give the SAME loss and parameter gradients as their hand-unrolled
+(sequential-plate) equivalents.
+
+Ports the core of the reference's ``tests/infer/test_enum.py``
+``test_elbo_enumerate_plate_{1,2,4,6,7}`` / ``plates_1`` family — the
+flagship tests of TraceEnum_ELBO's tensor-tree contraction across plates,
+mixed model/guide enumeration, masks, and poutine.scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyro_tpu as pyro
+import pyro_tpu.distributions as dist
+from pyro_tpu import poutine
+from pyro_tpu.distributions import constraints
+from pyro_tpu.infer import TraceEnum_ELBO, config_enumerate
+from pyro_tpu.infer.svi import ParamsMessenger
+from pyro_tpu.ops.indexing import Vindex
+
+
+def _loss_and_grads(elbo, model, guide, *args):
+    store = pyro.get_param_store()
+    params = store.get_all_unconstrained()
+
+    def loss_fn(p):
+        with ParamsMessenger(p, store):
+            return elbo.differentiable_loss(
+                model, guide, *args, rng_key=jax.random.key(0)
+            )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return float(loss), {k: np.asarray(v) for k, v in grads.items()}
+
+
+def _check_loss_and_grads(expected, actual, rtol=1e-4, atol=1e-5, skip=()):
+    """``skip``: params whose gradient estimator legitimately differs
+    pointwise between the plated and unrolled programs (the plated DiCE
+    weighting Rao-Blackwellizes a sampled guide site's score per plate
+    slot; the unrolled program cross-products root-ordinal scores — both
+    unbiased, not pointwise equal.  The reference's exact-equality
+    version of this check is vacuous there: its [0,1]-deterministic
+    guide saturates that gradient to zero on both sides)."""
+    e_loss, e_grads = expected
+    a_loss, a_grads = actual
+    np.testing.assert_allclose(a_loss, e_loss, rtol=rtol, atol=atol)
+    for name in e_grads:
+        if name in skip:
+            continue
+        np.testing.assert_allclose(
+            a_grads[name], e_grads[name], rtol=1e-3, atol=1e-4,
+            err_msg=name,
+        )
+
+
+def _simplex_param(name, value):
+    pyro.param(
+        name, jnp.asarray(value), constraint=constraints.simplex
+    )
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+@pytest.mark.parametrize(
+    "num_samples,num_masked",
+    [(1, 1), (2, 2), (3, 2)],
+    ids=["single", "batch", "masked"],
+)
+def test_elbo_enumerate_plate_1(num_samples, num_masked, scale):
+    #              +---------+
+    #  x ----> y ----> z     |
+    #              |       N |
+    #              +---------+
+    pyro.clear_param_store()
+    _simplex_param("guide_probs_x", [0.1, 0.9])
+    _simplex_param("model_probs_x", [0.4, 0.6])
+    _simplex_param("model_probs_y", [[0.75, 0.25], [0.55, 0.45]])
+    _simplex_param("model_probs_z", [[0.3, 0.7], [0.2, 0.8]])
+
+    def auto_model(data):
+        probs_x = pyro.param("model_probs_x")
+        probs_y = pyro.param("model_probs_y")
+        probs_z = pyro.param("model_probs_z")
+        x = pyro.sample("x", dist.Categorical(probs_x))
+        with poutine.scale(scale=scale):
+            y = pyro.sample(
+                "y",
+                dist.Categorical(probs_y[x]),
+                infer={"enumerate": "parallel"},
+            )
+            with pyro.plate("data", len(data)):
+                with poutine.mask(
+                    mask=jnp.arange(num_samples) < num_masked
+                ):
+                    pyro.sample("z", dist.Categorical(probs_z[y]), obs=data)
+
+    def hand_model(data):
+        probs_x = pyro.param("model_probs_x")
+        probs_y = pyro.param("model_probs_y")
+        probs_z = pyro.param("model_probs_z")
+        x = pyro.sample("x", dist.Categorical(probs_x))
+        with poutine.scale(scale=scale):
+            y = pyro.sample(
+                "y",
+                dist.Categorical(probs_y[x]),
+                infer={"enumerate": "parallel"},
+            )
+            for i in pyro.plate("data", num_masked):
+                pyro.sample(
+                    f"z_{i}", dist.Categorical(probs_z[y]), obs=data[i]
+                )
+
+    @config_enumerate
+    def guide(data):
+        probs_x = pyro.param("guide_probs_x")
+        pyro.sample("x", dist.Categorical(probs_x))
+
+    data = dist.Categorical(jnp.asarray([0.3, 0.7])).sample(
+        jax.random.key(1), (num_samples,)
+    )
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), auto_model, guide, data
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide, data
+    )
+    _check_loss_and_grads(hand, auto)
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+@pytest.mark.parametrize(
+    "num_samples,num_masked",
+    [(1, 1), (2, 2), (3, 2)],
+    ids=["single", "batch", "masked"],
+)
+def test_elbo_enumerate_plate_2(num_samples, num_masked, scale):
+    #      +-----------------+
+    #  x ----> y ----> z     |
+    #      |               N |
+    #      +-----------------+
+    pyro.clear_param_store()
+    _simplex_param("guide_probs_x", [0.1, 0.9])
+    _simplex_param("model_probs_x", [0.4, 0.6])
+    _simplex_param("model_probs_y", [[0.75, 0.25], [0.55, 0.45]])
+    _simplex_param("model_probs_z", [[0.3, 0.7], [0.2, 0.8]])
+
+    def auto_model(data):
+        probs_x = pyro.param("model_probs_x")
+        probs_y = pyro.param("model_probs_y")
+        probs_z = pyro.param("model_probs_z")
+        x = pyro.sample("x", dist.Categorical(probs_x))
+        with poutine.scale(scale=scale):
+            with pyro.plate("data", len(data)):
+                with poutine.mask(
+                    mask=jnp.arange(num_samples) < num_masked
+                ):
+                    y = pyro.sample(
+                        "y",
+                        dist.Categorical(probs_y[x]),
+                        infer={"enumerate": "parallel"},
+                    )
+                    pyro.sample("z", dist.Categorical(probs_z[y]), obs=data)
+
+    def hand_model(data):
+        probs_x = pyro.param("model_probs_x")
+        probs_y = pyro.param("model_probs_y")
+        probs_z = pyro.param("model_probs_z")
+        x = pyro.sample("x", dist.Categorical(probs_x))
+        with poutine.scale(scale=scale):
+            for i in pyro.plate("data", num_masked):
+                y = pyro.sample(
+                    f"y_{i}",
+                    dist.Categorical(probs_y[x]),
+                    infer={"enumerate": "parallel"},
+                )
+                pyro.sample(
+                    f"z_{i}", dist.Categorical(probs_z[y]), obs=data[i]
+                )
+
+    @config_enumerate
+    def guide(data):
+        probs_x = pyro.param("guide_probs_x")
+        pyro.sample("x", dist.Categorical(probs_x))
+
+    data = dist.Categorical(jnp.asarray([0.3, 0.7])).sample(
+        jax.random.key(1), (num_samples,)
+    )
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), auto_model, guide, data
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), hand_model, guide, data
+    )
+    _check_loss_and_grads(hand, auto)
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+@pytest.mark.parametrize(
+    "outer_obs,inner_obs", [(False, True), (True, False), (True, True)]
+)
+def test_elbo_enumerate_plate_4(outer_obs, inner_obs, scale):
+    #    a ---> outer_obs
+    #      \
+    #  +-----\------------------+
+    #  |       \                |
+    #  | b ---> inner_obs   N=2 |
+    #  +------------------------+
+    pyro.clear_param_store()
+    _simplex_param("probs_a", [0.4, 0.6])
+    _simplex_param("probs_b", [0.6, 0.4])
+    pyro.param("locs", jnp.asarray([-1.0, 1.0]))
+    pyro.param(
+        "scales", jnp.asarray([1.0, 2.0]), constraint=constraints.positive
+    )
+    outer_data = jnp.asarray(2.0)
+    inner_data = jnp.asarray([0.5, 1.5])
+
+    @poutine.scale(scale=scale)
+    def auto_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        locs = pyro.param("locs")
+        scales = pyro.param("scales")
+        a = pyro.sample(
+            "a", dist.Categorical(probs_a), infer={"enumerate": "parallel"}
+        )
+        if outer_obs:
+            pyro.sample(
+                "outer_obs", dist.Normal(0.0, scales[a]), obs=outer_data
+            )
+        with pyro.plate("inner", 2):
+            b = pyro.sample(
+                "b",
+                dist.Categorical(probs_b),
+                infer={"enumerate": "parallel"},
+            )
+            if inner_obs:
+                pyro.sample(
+                    "inner_obs",
+                    dist.Normal(locs[b], scales[a]),
+                    obs=inner_data,
+                )
+
+    @poutine.scale(scale=scale)
+    def hand_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        locs = pyro.param("locs")
+        scales = pyro.param("scales")
+        a = pyro.sample(
+            "a", dist.Categorical(probs_a), infer={"enumerate": "parallel"}
+        )
+        if outer_obs:
+            pyro.sample(
+                "outer_obs", dist.Normal(0.0, scales[a]), obs=outer_data
+            )
+        for i in pyro.plate("inner", 2):
+            b = pyro.sample(
+                f"b_{i}",
+                dist.Categorical(probs_b),
+                infer={"enumerate": "parallel"},
+            )
+            if inner_obs:
+                pyro.sample(
+                    f"inner_obs_{i}",
+                    dist.Normal(locs[b], scales[a]),
+                    obs=inner_data[i],
+                )
+
+    def guide():
+        pass
+
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), auto_model, guide
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide
+    )
+    _check_loss_and_grads(hand, auto)
+
+
+def test_elbo_enumerate_plate_6():
+    #     Guide           Model
+    #           +-------+
+    #       b ----> c <---- a
+    #           |  M=2  |
+    #           +-------+
+    # model-side enumeration moves c into b's plate via contraction
+    pyro.clear_param_store()
+    _simplex_param("model_probs_a", [0.45, 0.55])
+    _simplex_param("model_probs_b", [0.6, 0.4])
+    _simplex_param(
+        "model_probs_c",
+        [
+            [[0.4, 0.5, 0.1], [0.3, 0.5, 0.2]],
+            [[0.3, 0.4, 0.3], [0.4, 0.4, 0.2]],
+        ],
+    )
+    _simplex_param("guide_probs_b", [0.8, 0.2])
+    data = jnp.asarray([1, 2])
+
+    @config_enumerate
+    def model_plate():
+        probs_a = pyro.param("model_probs_a")
+        probs_b = pyro.param("model_probs_b")
+        probs_c = pyro.param("model_probs_c")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        b = pyro.sample("b", dist.Categorical(probs_b))
+        with pyro.plate("b_axis", 2):
+            pyro.sample(
+                "c", dist.Categorical(Vindex(probs_c)[a, b]), obs=data
+            )
+
+    @config_enumerate
+    def model_iplate():
+        probs_a = pyro.param("model_probs_a")
+        probs_b = pyro.param("model_probs_b")
+        probs_c = pyro.param("model_probs_c")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        b = pyro.sample("b", dist.Categorical(probs_b))
+        for i in pyro.plate("b_axis", 2):
+            pyro.sample(
+                f"c_{i}",
+                dist.Categorical(Vindex(probs_c)[a, b]),
+                obs=data[i],
+            )
+
+    @config_enumerate
+    def guide():
+        probs_b = pyro.param("guide_probs_b")
+        pyro.sample("b", dist.Categorical(probs_b))
+
+    expected = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), model_iplate, guide
+    )
+    actual = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), model_plate, guide
+    )
+    _check_loss_and_grads(expected, actual)
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+def test_elbo_enumerate_plate_7(scale):
+    #  Guide    Model
+    #    a -----> b
+    #    |        |
+    #  +-|--------|----------------+
+    #  | V        V                |
+    #  | c -----> d -----> e   N=2 |
+    #  +---------------------------+
+    # mixture of model and guide enumeration
+    pyro.clear_param_store()
+    _simplex_param("model_probs_a", [0.45, 0.55])
+    _simplex_param("model_probs_b", [[0.6, 0.4], [0.4, 0.6]])
+    _simplex_param("model_probs_c", [[0.75, 0.25], [0.55, 0.45]])
+    _simplex_param(
+        "model_probs_d",
+        [[[0.4, 0.6], [0.3, 0.7]], [[0.3, 0.7], [0.2, 0.8]]],
+    )
+    _simplex_param("model_probs_e", [[0.75, 0.25], [0.55, 0.45]])
+    _simplex_param("guide_probs_a", [0.35, 0.64])
+    _simplex_param("guide_probs_c", [[0.001, 0.999], [0.999, 0.001]])
+
+    @poutine.scale(scale=scale)
+    def auto_model(data):
+        probs_a = pyro.param("model_probs_a")
+        probs_b = pyro.param("model_probs_b")
+        probs_c = pyro.param("model_probs_c")
+        probs_d = pyro.param("model_probs_d")
+        probs_e = pyro.param("model_probs_e")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        b = pyro.sample(
+            "b", dist.Categorical(probs_b[a]), infer={"enumerate": "parallel"}
+        )
+        with pyro.plate("data", 2):
+            c = pyro.sample("c", dist.Categorical(probs_c[a]))
+            d = pyro.sample(
+                "d",
+                dist.Categorical(Vindex(probs_d)[b, c]),
+                infer={"enumerate": "parallel"},
+            )
+            pyro.sample("obs", dist.Categorical(probs_e[d]), obs=data)
+
+    @poutine.scale(scale=scale)
+    def auto_guide(data):
+        probs_a = pyro.param("guide_probs_a")
+        probs_c = pyro.param("guide_probs_c")
+        a = pyro.sample(
+            "a", dist.Categorical(probs_a), infer={"enumerate": "parallel"}
+        )
+        with pyro.plate("data", 2):
+            pyro.sample("c", dist.Categorical(probs_c[a]))
+
+    @poutine.scale(scale=scale)
+    def hand_model(data):
+        probs_a = pyro.param("model_probs_a")
+        probs_b = pyro.param("model_probs_b")
+        probs_c = pyro.param("model_probs_c")
+        probs_d = pyro.param("model_probs_d")
+        probs_e = pyro.param("model_probs_e")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        b = pyro.sample(
+            "b", dist.Categorical(probs_b[a]), infer={"enumerate": "parallel"}
+        )
+        for i in pyro.plate("data", 2):
+            c = pyro.sample(f"c_{i}", dist.Categorical(probs_c[a]))
+            d = pyro.sample(
+                f"d_{i}",
+                dist.Categorical(Vindex(probs_d)[b, c]),
+                infer={"enumerate": "parallel"},
+            )
+            pyro.sample(
+                f"obs_{i}", dist.Categorical(probs_e[d]), obs=data[i]
+            )
+
+    @poutine.scale(scale=scale)
+    def hand_guide(data):
+        probs_a = pyro.param("guide_probs_a")
+        probs_c = pyro.param("guide_probs_c")
+        a = pyro.sample(
+            "a", dist.Categorical(probs_a), infer={"enumerate": "parallel"}
+        )
+        for i in pyro.plate("data", 2):
+            pyro.sample(f"c_{i}", dist.Categorical(probs_c[a]))
+
+    data = jnp.asarray([0, 0])
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), auto_model, auto_guide, data
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, hand_guide, data
+    )
+    _check_loss_and_grads(hand, auto, skip={"guide_probs_c"})
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+def test_elbo_enumerate_plates_1(scale):
+    #  +-----------------+
+    #  | a ----> b   M=2 |
+    #  +-----------------+
+    #  +-----------------+
+    #  | c ----> d   N=3 |
+    #  +-----------------+
+    # two unrelated plates; each should remain uncontracted
+    pyro.clear_param_store()
+    _simplex_param("probs_a", [0.45, 0.55])
+    _simplex_param("probs_b", [[0.6, 0.4], [0.4, 0.6]])
+    _simplex_param("probs_c", [0.75, 0.25])
+    _simplex_param("probs_d", [[0.4, 0.6], [0.3, 0.7]])
+    b_data = jnp.asarray([0, 1])
+    d_data = jnp.asarray([0, 0, 1])
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def auto_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        probs_c = pyro.param("probs_c")
+        probs_d = pyro.param("probs_d")
+        with pyro.plate("a_axis", 2):
+            a = pyro.sample("a", dist.Categorical(probs_a))
+            pyro.sample("b", dist.Categorical(probs_b[a]), obs=b_data)
+        with pyro.plate("c_axis", 3):
+            c = pyro.sample("c", dist.Categorical(probs_c))
+            pyro.sample("d", dist.Categorical(probs_d[c]), obs=d_data)
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def hand_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        probs_c = pyro.param("probs_c")
+        probs_d = pyro.param("probs_d")
+        for i in pyro.plate("a_axis", 2):
+            a = pyro.sample(f"a_{i}", dist.Categorical(probs_a))
+            pyro.sample(f"b_{i}", dist.Categorical(probs_b[a]), obs=b_data[i])
+        for j in pyro.plate("c_axis", 3):
+            c = pyro.sample(f"c_{j}", dist.Categorical(probs_c))
+            pyro.sample(f"d_{j}", dist.Categorical(probs_d[c]), obs=d_data[j])
+
+    def guide():
+        pass
+
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), auto_model, guide
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide
+    )
+    _check_loss_and_grads(hand, auto)
