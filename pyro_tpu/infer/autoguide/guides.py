@@ -340,6 +340,9 @@ class AutoContinuous(AutoGuide):
         flat, unravel = jax.flatten_util.ravel_pytree(init_unconstrained)
         self._init_latent = flat
         self._unravel = unravel
+        self._site_unc_shapes = {
+            k: jnp.shape(v) for k, v in init_unconstrained.items()
+        }
         self.latent_dim = flat.shape[0]
 
     def get_posterior(self, *args, **kwargs) -> Distribution:
@@ -375,8 +378,30 @@ class AutoContinuous(AutoGuide):
             if not _is_latent(site):
                 continue
             t = self._transforms[name]
-            value = t(unconstrained[name])
-            log_density = t.log_abs_det_jacobian(unconstrained[name], value)
+            u = unconstrained[name]
+            # strip padding singleton batch dims: the _latent site's plate
+            # broadcast (e.g. a vectorized-particles plate at dim -2) pads
+            # its batch with trailing 1s; after unraveling, those 1s sit
+            # BETWEEN the particle dim and the site's own plate/event dims
+            # and would make the delta broadcast against the site's plates
+            # (a 100-particle guide produced (100,100,3) deltas)
+            unc_shape = tuple(self._site_unc_shapes[name])
+            event_dim = site["fn"].event_dim
+            batch = list(u.shape[: jnp.ndim(u) - len(unc_shape)])
+            stripped = 0
+            while batch and batch[-1] == 1:
+                batch.pop()
+                stripped += 1
+            # an outer plate at dim -k (e.g. vectorized particles) padded
+            # the latent's batch with k-1 singletons; in SITE coordinates
+            # that plate dim must stay at the same negative position, so
+            # re-insert only the singletons not covered by the site's own
+            # batch (plate) dims
+            site_batch_ndim = jnp.ndim(site["value"]) - event_dim
+            pad = max(0, stripped - site_batch_ndim)
+            u = u.reshape(tuple(batch) + (1,) * pad + unc_shape)
+            value = t(u)
+            log_density = t.log_abs_det_jacobian(u, value)
             # delta with the Jacobian correction so guide log-density is
             # correct in constrained space (ref ``guides.py:790-820``)
             event_dim = site["fn"].event_dim

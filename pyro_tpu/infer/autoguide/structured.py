@@ -10,6 +10,7 @@ taken from the model's posterior dependencies (via
 
 from __future__ import annotations
 
+import math
 from collections import OrderedDict
 from typing import Callable, Dict, Optional, Union
 
@@ -81,9 +82,12 @@ class AutoStructured(AutoGuide):
             }
 
     def __call__(self, *args, **kwargs):
+        from contextlib import ExitStack
+
         if self.prototype_trace is None:
             self._proto_args, self._proto_kwargs = args, kwargs
             self._setup_prototype(*args, **kwargs)
+        plates = self._create_plates(*args, **kwargs)
         values_unconstrained: "OrderedDict" = OrderedDict()
         result = {}
         for name, site in self.prototype_trace.nodes.items():
@@ -91,7 +95,9 @@ class AutoStructured(AutoGuide):
                 continue
             t = self._transforms[name]
             shape = self._unconstrained_shapes[name]
-            size = int(jnp.prod(jnp.asarray(shape))) if shape else 1
+            # host math: shapes are static tuples, and a staged
+            # jnp.prod is a tracer under jit (int() would raise)
+            size = math.prod(shape) if shape else 1
             init = t.inv(self.init_loc_fn(site))
             loc = pyro_param(f"{self._name}.locs.{name}", init)
             # linear shifts from sampled upstream latents (batch dims, e.g.
@@ -102,9 +108,7 @@ class AutoStructured(AutoGuide):
                     continue
                 u_val = values_unconstrained[up]
                 ushape = self._unconstrained_shapes[up]
-                u_size = max(
-                    int(jnp.prod(jnp.asarray(ushape))) if ushape else 1, 1
-                )
+                u_size = max(math.prod(ushape) if ushape else 1, 1)
                 W = pyro_param(
                     f"{self._name}.deps.{name}.{up}",
                     jnp.zeros((u_size, size)),
@@ -122,34 +126,46 @@ class AutoStructured(AutoGuide):
                 if isinstance(self.conditionals, str)
                 else self.conditionals.get(name, "normal")
             )
-            if cond == "delta":
-                value_u = loc + shift
-                value = t(value_u)
-                ld = t.log_abs_det_jacobian(value_u, value)
-                event_dim = site["fn"].event_dim
-                extra = jnp.ndim(ld) - (jnp.ndim(value) - event_dim)
-                if extra > 0:
-                    ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
-                result[name] = pyro_sample(
-                    name,
-                    Delta(value, log_density=-ld, event_dim=event_dim),
-                )
-                values_unconstrained[name] = value_u
-            else:
-                scale = pyro_param(
-                    f"{self._name}.scales.{name}",
-                    jnp.full(shape, self._init_scale),
-                    constraint=constraints.softplus_positive,
-                )
-                base = Normal(loc + shift, scale).to_event(len(shape))
-                fn = (
-                    base
-                    if isinstance(t, IdentityTransform)
-                    else TransformedDistribution(base, t)
-                )
-                value = pyro_sample(name, fn)
-                values_unconstrained[name] = t.inv(value)
-                result[name] = value
+            # re-enter the model's plates for this site: its plate dims
+            # stay BATCH dims (only true event dims are to_event-ed), so
+            # an outer vectorized-particles plate broadcasts at its own
+            # dim instead of into the site's plates (a 100-particle guide
+            # previously produced 100x-overcounted model traces)
+            frames = self._prototype_frames.get(name, ())
+            with ExitStack() as stack:
+                for f in frames:
+                    if f.name in plates:
+                        stack.enter_context(plates[f.name])
+                if cond == "delta":
+                    value_u = loc + shift
+                    value = t(value_u)
+                    ld = t.log_abs_det_jacobian(value_u, value)
+                    event_dim = site["fn"].event_dim
+                    extra = jnp.ndim(ld) - (jnp.ndim(value) - event_dim)
+                    if extra > 0:
+                        ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+                    result[name] = pyro_sample(
+                        name,
+                        Delta(value, log_density=-ld, event_dim=event_dim),
+                    )
+                    values_unconstrained[name] = value_u
+                else:
+                    scale = pyro_param(
+                        f"{self._name}.scales.{name}",
+                        jnp.full(shape, self._init_scale),
+                        constraint=constraints.softplus_positive,
+                    )
+                    base = Normal(loc + shift, scale).to_event(
+                        t.domain.event_dim
+                    )
+                    fn = (
+                        base
+                        if isinstance(t, IdentityTransform)
+                        else TransformedDistribution(base, t)
+                    )
+                    value = pyro_sample(name, fn)
+                    values_unconstrained[name] = t.inv(value)
+                    result[name] = value
         return result
 
     def median(self, *args, **kwargs):
