@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..distributions.util import is_identically_zero
 from .elbo import ELBO
-from .util import MultiFrameTensor, get_plate_stacks
+from .util import MultiFrameTensor
 
 
 class TraceGraph_ELBO(ELBO):
