@@ -30,10 +30,24 @@ def get_dependencies(model, model_args=(), model_kwargs=None) -> Dict:
         poutine.seed(model, rng_key=jax.random.key(0))
     ).get_trace(*model_args, **model_kwargs)
     trace = prune_subsample_sites(trace)
+    def _is_sample_site(site):
+        """Ref ``inspect.py:26``: skip subsample sites, mask=False
+        observations, and deterministic (Delta-based) sites."""
+        if site["type"] != "sample" or site_is_subsample(site):
+            return False
+        if site["is_observed"] and site.get("mask") is False:
+            return False
+        fn = site["fn"]
+        while hasattr(fn, "base_dist"):
+            fn = fn.base_dist
+        if type(fn).__name__ == "Delta":
+            return False
+        return True
+
     sample_sites = [
         name
         for name, site in trace.nodes.items()
-        if site["type"] == "sample" and not site_is_subsample(site)
+        if _is_sample_site(site)
     ]
     latents = [
         name
@@ -61,12 +75,10 @@ def get_dependencies(model, model_args=(), model_kwargs=None) -> Dict:
             if "log_prob" in tr.nodes[name]
         }
 
+    # every site carries a self-edge (ref ``inspect.py:209``)
     prior_dependencies: Dict[str, Dict[str, set]] = OrderedDict()
     for name in sample_sites:
-        prior_dependencies[name] = OrderedDict({})
-    for name in sample_sites:
-        if name in latents:
-            prior_dependencies[name][name] = set()
+        prior_dependencies[name] = OrderedDict({name: set()})
 
     order = {n: i for i, n in enumerate(sample_sites)}
     float_latents = [
@@ -116,24 +128,43 @@ def get_dependencies(model, model_args=(), model_kwargs=None) -> Dict:
             ):
                 prior_dependencies[downstream][upstream] = set()
 
-    # posterior dependencies: moralization — latents sharing a child are
-    # dependent in the posterior (ref ``inspect.py:200-240``)
+    # posterior dependencies: reverse edges onto latent sites, then
+    # moralize within each factor's Markov blanket, annotating edges
+    # with the plates that induce FULL (complete-bipartite) coupling —
+    # e.g. an observation outside a plate couples all slices of its
+    # plated parent (ref ``inspect.py:224-246``)
+    site_plates = {
+        name: {
+            f.name
+            for f in trace.nodes[name]["cond_indep_stack"]
+            if f.dim is not None
+        }
+        for name in sample_sites
+    }
     posterior_dependencies: Dict[str, Dict[str, set]] = OrderedDict()
     for name in latents:
-        posterior_dependencies[name] = OrderedDict(
-            (k, v)
-            for k, v in prior_dependencies[name].items()
-            if k in latents
-        )
-    for child, parents in prior_dependencies.items():
-        latent_parents = [p for p in parents if p in latents]
-        for i, a in enumerate(latent_parents):
-            for b in latent_parents[i + 1 :]:
-                hi, lo = (a, b) if a > b else (b, a)
-                if trace.nodes[child]["is_observed"] or child in latents:
-                    posterior_dependencies.setdefault(
-                        hi, OrderedDict()
-                    ).setdefault(lo, set())
+        posterior_dependencies[name] = OrderedDict()
+    for d, upstreams in prior_dependencies.items():
+        for u, p in upstreams.items():
+            if u in latents:
+                posterior_dependencies[u][d] = set(p)
+    rev_order = {n: i for i, n in enumerate(reversed(sample_sites))}
+    for d, upstreams in prior_dependencies.items():
+        lat_ups = {
+            u: p for u, p in upstreams.items() if u in latents
+        }
+        for u1, p1 in lat_ups.items():
+            for u2, p2 in lat_ups.items():
+                if rev_order[u1] <= rev_order[u2]:
+                    p12 = posterior_dependencies[u2].setdefault(
+                        u1, set()
+                    )
+                    p12 |= (
+                        site_plates[u1] & site_plates[u2]
+                        - site_plates[d]
+                    )
+                    p12 |= site_plates[u2] & p1
+                    p12 |= site_plates[u1] & p2
     return {
         "prior_dependencies": {
             k: dict(v) for k, v in prior_dependencies.items()
