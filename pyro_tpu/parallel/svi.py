@@ -42,7 +42,7 @@ class DataParallelSVI(SVI):
         rep = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(axis))
 
-        def sharded_update(params, opt_state, rng_key, dyn, hstatic):
+        def sharded_update(params, opt_state, loss_state, rng_key, dyn, hstatic):
             params = jax.tree.map(
                 lambda x: jax.device_put(x, rep), params
             )
@@ -52,6 +52,8 @@ class DataParallelSVI(SVI):
                 else x,
                 dyn,
             )
-            return base_update(params, opt_state, rng_key, dyn, hstatic)
+            return base_update(
+                params, opt_state, loss_state, rng_key, dyn, hstatic
+            )
 
         self._update_fn = sharded_update
