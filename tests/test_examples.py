@@ -123,7 +123,16 @@ def test_cpu(example):
     if not os.path.exists(filename):
         pytest.skip(f"missing {path}")
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # drop external accelerator-plugin sites (e.g. an axon TPU tunnel)
+    # from PYTHONPATH: examples must run hermetically on host CPU, and a
+    # degraded tunnel can hang backend discovery even under
+    # JAX_PLATFORMS=cpu
+    inherited = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + inherited)
     # run examples on forced-CPU for hermetic CI (the axon plugin ignores
     # the env var, so examples check jax.config too — see conftest note)
     env["JAX_PLATFORM_NAME"] = "cpu"
