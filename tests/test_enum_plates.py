@@ -490,3 +490,144 @@ def test_elbo_enumerate_plates_1(scale):
         TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide
     )
     _check_loss_and_grads(hand, auto)
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+def test_elbo_enumerate_plates_2(scale):
+    #  +---------+       +---------+
+    #  |     b <---- a ----> c     |
+    #  | M=2     |       |     N=3 |
+    #  +---------+       +---------+
+    # two different plates with recycled dimension
+    pyro.clear_param_store()
+    _simplex_param("probs_a", [0.45, 0.55])
+    _simplex_param("probs_b", [[0.6, 0.4], [0.4, 0.6]])
+    _simplex_param("probs_c", [[0.75, 0.25], [0.55, 0.45]])
+    b_data = jnp.asarray([0, 1])
+    c_data = jnp.asarray([0, 0, 1])
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def auto_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        probs_c = pyro.param("probs_c")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        with pyro.plate("b_axis", 2):
+            pyro.sample("b", dist.Categorical(probs_b[a]), obs=b_data)
+        with pyro.plate("c_axis", 3):
+            pyro.sample("c", dist.Categorical(probs_c[a]), obs=c_data)
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def hand_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        probs_c = pyro.param("probs_c")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        for i in pyro.plate("b_axis", 2):
+            pyro.sample(f"b_{i}", dist.Categorical(probs_b[a]), obs=b_data[i])
+        for j in pyro.plate("c_axis", 3):
+            pyro.sample(f"c_{j}", dist.Categorical(probs_c[a]), obs=c_data[j])
+
+    def guide():
+        pass
+
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=1), auto_model, guide
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide
+    )
+    _check_loss_and_grads(hand, auto)
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+def test_elbo_enumerate_plates_3(scale):
+    # multiple plate contractions in a single step (nested plates)
+    pyro.clear_param_store()
+    _simplex_param("probs_a", [0.45, 0.55])
+    _simplex_param("probs_b", [[0.6, 0.4], [0.4, 0.6]])
+    data = jnp.asarray([[0, 1], [0, 0]])
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def auto_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        with pyro.plate("outer", 2):
+            with pyro.plate("inner", 2):
+                pyro.sample("b", dist.Categorical(probs_b[a]), obs=data)
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def hand_model():
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        inner = pyro.plate("inner", 2)
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        for i in pyro.plate("outer", 2):
+            for j in inner:
+                pyro.sample(
+                    f"b_{i}_{j}", dist.Categorical(probs_b[a]), obs=data[i, j]
+                )
+
+    def guide():
+        pass
+
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=2), auto_model, guide
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide
+    )
+    _check_loss_and_grads(hand, auto)
+
+
+@pytest.mark.parametrize("scale", [1, 10])
+def test_elbo_enumerate_plates_4(scale):
+    # enumerated b in the outer plate, obs in the nested inner plate
+    pyro.clear_param_store()
+    _simplex_param("probs_a", [0.45, 0.55])
+    _simplex_param("probs_b", [[0.6, 0.4], [0.4, 0.6]])
+    _simplex_param("probs_c", [[0.4, 0.6], [0.3, 0.7]])
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def auto_model(data):
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        probs_c = pyro.param("probs_c")
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        with pyro.plate("outer", 2):
+            b = pyro.sample("b", dist.Categorical(probs_b[a]))
+            with pyro.plate("inner", 2):
+                pyro.sample("c", dist.Categorical(probs_c[b]), obs=data)
+
+    @config_enumerate
+    @poutine.scale(scale=scale)
+    def hand_model(data):
+        probs_a = pyro.param("probs_a")
+        probs_b = pyro.param("probs_b")
+        probs_c = pyro.param("probs_c")
+        inner = pyro.plate("inner", 2)
+        a = pyro.sample("a", dist.Categorical(probs_a))
+        for i in pyro.plate("outer", 2):
+            b = pyro.sample(f"b_{i}", dist.Categorical(probs_b[a]))
+            for j in inner:
+                pyro.sample(
+                    f"c_{i}_{j}", dist.Categorical(probs_c[b]), obs=data[i, j]
+                )
+
+    def guide(data):
+        pass
+
+    data = jnp.asarray([[0, 1], [0, 0]])
+    auto = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=2), auto_model, guide, data
+    )
+    hand = _loss_and_grads(
+        TraceEnum_ELBO(max_plate_nesting=0), hand_model, guide, data
+    )
+    _check_loss_and_grads(hand, auto)
