@@ -981,7 +981,42 @@ BENCHMARKS = {
 }
 
 
+def _device_probe(timeout_s: float = 180.0) -> None:
+    """Fail fast with a JSON error line if the accelerator backend is
+    unreachable (a degraded tunnel can hang jax.devices() forever)."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        float(jax.numpy.zeros(()) + 1.0)
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "error",
+                    "value": 0.0,
+                    "unit": "none",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        "device backend unreachable within "
+                        f"{timeout_s:.0f}s (tunnel down?)"
+                    ),
+                }
+            )
+        )
+        os._exit(2)
+
+
 def main() -> None:
+    _device_probe()
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
