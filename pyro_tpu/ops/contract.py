@@ -256,55 +256,171 @@ def ubersum(equation: str, *operands, plates: str = "", backend=None):
     return tuple(results)
 
 
-def naive_ubersum(equation: str, *operands, plates: str = ""):
-    """Brute-force reference implementation (ref ``contract.py:486``):
-    materialize the full joint by broadcasting, then logsumexp-reduce.
-
-    Only supports the case where every product-reduced (plate) dim appears
-    in the output — i.e. pure sum-contraction; used to validate ``ubersum``
-    on small cases.
-    """
+def _naive_log_einsum(equation: str, *operands):
+    """Flat (plate-free) log-space einsum by greedy variable elimination
+    (the full-joint broadcast is exponential on deep factor chains)."""
     from jax.scipy.special import logsumexp
 
-    inputs, outputs = equation.split("->")
-    inputs = inputs.split(",")
-    outputs = outputs.split(",")
-    for output in outputs:
-        for p in plates:
-            if any(p in dims for dims in inputs) and p not in output:
-                raise NotImplementedError(
-                    "naive_ubersum only supports plate dims preserved in "
-                    "the output"
+    inputs, output = equation.split("->")
+    terms = [
+        (list(inp), jnp.asarray(op))
+        for inp, op in zip(inputs.split(","), operands)
+    ]
+
+    def broadcast_sum(group):
+        dims: list = []
+        for gdims, _ in group:
+            for d in gdims:
+                if d not in dims:
+                    dims.append(d)
+        total = 0.0
+        for gdims, val in group:
+            perm = sorted(
+                range(len(gdims)), key=lambda i: dims.index(gdims[i])
+            )
+            v = jnp.transpose(val, perm)
+            od = [gdims[i] for i in perm]
+            shape = [1] * len(dims)
+            j = 0
+            for i, d in enumerate(dims):
+                if j < len(od) and od[j] == d:
+                    shape[i] = v.shape[j]
+                    j += 1
+            total = total + v.reshape(shape)
+        return dims, jnp.broadcast_to(
+            total,
+            tuple(
+                max(
+                    (
+                        val.shape[gdims.index(d)]
+                        for gdims, val in group
+                        if d in gdims
+                    ),
+                    default=1,
                 )
-    # global symbol table
-    symbols = sorted({d for dims in inputs for d in dims})
-    sizes = {}
-    for dims, op in zip(inputs, operands):
-        for d, s in zip(dims, jnp.shape(op)):
-            sizes[d] = max(sizes.get(d, 1), s)
-    full_shape = tuple(sizes[d] for d in symbols)
-    total = 0.0
-    for dims, op in zip(inputs, operands):
-        op = jnp.asarray(op)
-        shape = [1] * len(symbols)
-        perm = sorted(range(len(dims)), key=lambda i: symbols.index(dims[i]))
-        opt = jnp.transpose(op, perm)
-        j = 0
-        od = [dims[i] for i in perm]
-        for i, d in enumerate(symbols):
-            if j < len(od) and od[j] == d:
-                shape[i] = opt.shape[j]
-                j += 1
-        total = total + jnp.broadcast_to(opt.reshape(shape), full_shape)
-    results = []
-    for output in outputs:
-        keep = [i for i, d in enumerate(symbols) if d in output]
-        reduce_axes = tuple(
-            i for i, d in enumerate(symbols) if d not in output
+                for d in dims
+            ),
         )
-        red = logsumexp(total, axis=reduce_axes) if reduce_axes else total
-        # reorder to output order
-        rem = [d for d in symbols if d in output]
-        order = [rem.index(d) for d in output]
-        results.append(jnp.transpose(red, order))
-    return tuple(results)
+
+    elim = [
+        d
+        for d in {d for dims, _ in terms for d in dims}
+        if d not in output
+    ]
+    while elim:
+        best = min(
+            elim,
+            key=lambda d: len(
+                {x for dims, _ in terms if d in dims for x in dims}
+            ),
+        )
+        group = [t for t in terms if best in t[0]]
+        rest = [t for t in terms if best not in t[0]]
+        dims, merged = broadcast_sum(group)
+        ax = dims.index(best)
+        merged = logsumexp(merged, axis=ax)
+        dims.pop(ax)
+        terms = rest + [(dims, merged)]
+        elim.remove(best)
+    dims, total = broadcast_sum(terms) if terms else ([], jnp.zeros(()))
+    order = [dims.index(d) for d in output]
+    extra = [i for i in range(len(dims)) if dims[i] not in output]
+    assert not extra
+    return jnp.transpose(total, order)
+
+
+def naive_ubersum(equation: str, *operands, plates: str = ""):
+    """Naive reference implementation of :func:`ubersum` via plate
+    UNROLLING (ref ``contract.py:486``): every plate slice of every
+    operand becomes a separate flat operand with fresh symbols for its
+    plate-local contraction dims, then a plain log-einsum runs per
+    output plate index.  Supports product-reduced plates (plate dims
+    absent from an output)."""
+    import itertools as _it
+
+    import numpy as _np
+
+    inputs_str, outputs_str = equation.split("->")
+    outputs = outputs_str.split(",")
+    if len(outputs) > 1:
+        return tuple(
+            naive_ubersum(
+                inputs_str + "->" + output, *operands, plates=plates
+            )[0]
+            for output in outputs
+        )
+    (output,) = outputs
+    inputs = inputs_str.split(",")
+    plate_set = set(plates)
+    if not plate_set:
+        return (_naive_log_einsum(equation, *operands),)
+
+    sizes = {}
+    for inp, op in zip(inputs, operands):
+        for d, sz in zip(inp, jnp.shape(op)):
+            old = sizes.setdefault(d, sz)
+            if old != sz:
+                raise ValueError(
+                    f"Dimension size mismatch at dim '{d}': {sz} vs {old}"
+                )
+
+    # plate context of each contraction dim = intersection over inputs
+    dim_to_ordinal: dict = {}
+    for dims in map(set, inputs):
+        ordinal = dims & plate_set
+        for d in dims - plate_set:
+            dim_to_ordinal[d] = dim_to_ordinal.get(d, ordinal) & ordinal
+
+    symbol_table: dict = {}
+    counter = _it.count()
+
+    def unroll(d, indices):
+        key = (
+            d,
+            tuple(
+                indices[p] for p in sorted(dim_to_ordinal.get(d, ()))
+            ),
+        )
+        if key not in symbol_table:
+            symbol_table[key] = chr(0x4E00 + next(counter))
+        return symbol_table[key]
+
+    flat_inputs = []
+    flat_operands = []
+    for inp, op in zip(inputs, operands):
+        local = [d for d in inp if d in plate_set]
+        positions = [inp.index(d) for d in local]
+        for index in _it.product(*(range(sizes[d]) for d in local)):
+            idx_map = dict(zip(local, index))
+            flat_inputs.append(
+                "".join(
+                    unroll(d, idx_map) for d in inp if d not in plate_set
+                )
+            )
+            sel = [slice(None)] * len(inp)
+            for pos, i in zip(positions, index):
+                sel[pos] = i
+            flat_operands.append(jnp.asarray(op)[tuple(sel)])
+
+    out_plates = [d for d in output if d in plate_set]
+    if not out_plates:
+        flat_output = "".join(
+            unroll(d, {}) for d in output if d not in plate_set
+        )
+        flat_eq = ",".join(flat_inputs) + "->" + flat_output
+        return (_naive_log_einsum(flat_eq, *flat_operands),)
+
+    result = _np.zeros(tuple(sizes[d] for d in output), dtype=_np.float64)
+    for index in _it.product(*(range(sizes[d]) for d in out_plates)):
+        idx_map = dict(zip(out_plates, index))
+        flat_output = "".join(
+            unroll(d, idx_map) for d in output if d not in plate_set
+        )
+        flat_eq = ",".join(flat_inputs) + "->" + flat_output
+        flat_result = _naive_log_einsum(flat_eq, *flat_operands)
+        sel = []
+        it = iter(index)
+        for d in output:
+            sel.append(next(it) if d in plate_set else slice(None))
+        result[tuple(sel)] = _np.asarray(flat_result)
+    return (jnp.asarray(result, jnp.result_type(float)),)
