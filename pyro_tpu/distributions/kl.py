@@ -28,12 +28,48 @@ def register_kl(type_p, type_q):
 
 
 def kl_divergence(p: Distribution, q: Distribution):
+    # most-specific match by MRO distance (torch.distributions.kl
+    # semantics); registration order must not matter
+    best = None
+    best_score = None
     for (tp, tq), fn in _KL_REGISTRY.items():
         if isinstance(p, tp) and isinstance(q, tq):
-            return fn(p, q)
-    raise NotImplementedError(
-        f"no KL({type(p).__name__} || {type(q).__name__}) registered"
-    )
+            score = type(p).__mro__.index(tp) + type(q).__mro__.index(tq)
+            if best is None or score < best_score:
+                best, best_score = fn, score
+    if best is None:
+        raise NotImplementedError(
+            f"no KL({type(p).__name__} || {type(q).__name__}) registered"
+        )
+    return best(p, q)
+
+
+def _register_masked_kl():
+    # deferred: MaskedDistribution lives in distribution.py which imports
+    # this module's registry machinery
+    from .distribution import MaskedDistribution
+    from .util import scale_and_mask
+
+    @register_kl(MaskedDistribution, MaskedDistribution)
+    def _kl_masked_masked(p, q):
+        """Ref ``torch_distribution.py:529``: KL under the AND of both
+        masks; fully-masked-out pairs contribute exactly 0."""
+        if p._mask is False or q._mask is False:
+            mask = False
+        elif p._mask is True:
+            mask = q._mask
+        elif q._mask is True:
+            mask = p._mask
+        elif p._mask is q._mask:
+            mask = p._mask
+        else:
+            mask = p._mask & q._mask
+        if mask is False:
+            return 0.0
+        if mask is True:
+            return kl_divergence(p.base_dist, q.base_dist)
+        kl = kl_divergence(p.base_dist, q.base_dist)
+        return scale_and_mask(kl, mask=mask)
 
 
 @register_kl(Independent, Independent)
@@ -191,3 +227,6 @@ def _kl_fallback(p, q):
     raise NotImplementedError(
         f"no KL({type(p).__name__} || {type(q).__name__}) registered"
     )
+
+
+_register_masked_kl()
