@@ -130,16 +130,31 @@ def resample(x, num_samples: int, dim: int = 0, replacement: bool = False, rng_k
     return jnp.take(x, idx, axis=dim)
 
 
-def waic(x, log_weights=None, pointwise: bool = False, dim: int = 0):
-    """Widely applicable information criterion (ref ``stats.py:385``).
+def _weighted_mean(x, log_weights, dim=0, keepdims=False):
+    dim = jnp.ndim(x) + dim if dim < 0 else dim
+    lw = log_weights.reshape((-1,) + (1,) * (jnp.ndim(x) - dim - 1))
+    rel = jnp.exp(lw - jnp.max(lw, axis=0))
+    return jnp.sum(x * rel, axis=dim, keepdims=keepdims) / jnp.sum(rel)
 
-    ``x``: log-likelihood matrix with sample dim ``dim``.
-    """
+
+def _weighted_variance(x, log_weights, dim=0, keepdims=False, unbiased=True):
+    dev2 = (x - _weighted_mean(x, log_weights, dim, keepdims=True)) ** 2
+    n = log_weights.shape[0]
+    correction = n / (n - 1.0) if unbiased else 1.0
+    return _weighted_mean(dev2, log_weights, dim, keepdims) * correction
+
+
+def waic(x, log_weights=None, pointwise: bool = False, dim: int = 0):
+    """Widely applicable information criterion (ref ``stats.py:385``),
+    with optional importance weights over the sample dim ``dim``."""
     from jax.scipy.special import logsumexp
 
-    n = x.shape[dim]
-    lpd = logsumexp(x, axis=dim) - math.log(n)
-    p_waic = jnp.var(x, axis=dim, ddof=1)
+    if log_weights is None:
+        log_weights = jnp.zeros(x.shape[dim])
+    dim = jnp.ndim(x) + dim if dim < 0 else dim
+    lw = log_weights.reshape((-1,) + (1,) * (jnp.ndim(x) - dim - 1))
+    lpd = logsumexp(x + lw, axis=dim) - logsumexp(log_weights, axis=0)
+    p_waic = _weighted_variance(x, log_weights, dim)
     elpd = lpd - p_waic
     waic_val = -2 * elpd
     if pointwise:
