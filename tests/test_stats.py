@@ -149,3 +149,35 @@ def test_resample(replacement):
     assert y.shape == (30,)
     if not replacement:
         assert len(set(np.asarray(y).tolist())) == 30
+
+
+@pytest.mark.parametrize("event_shape", [(), (4,), (3, 2)], ids=str)
+@pytest.mark.parametrize("num_samples", [2, 3, 10])
+def test_crps_empirical(num_samples, event_shape):
+    """CRPS equals its brute-force definition (ref test_stats.py:317)."""
+    from pyro_tpu.ops.stats import crps_empirical
+
+    truth = jax.random.normal(jax.random.key(11), event_shape)
+    pred = truth + 0.1 * jax.random.normal(
+        jax.random.key(12), (num_samples,) + event_shape
+    )
+    actual = crps_empirical(pred, truth)
+    assert actual.shape == truth.shape
+    expected = jnp.abs(pred - truth).mean(0) - 0.5 * jnp.abs(
+        pred[:, None] - pred[None, :]
+    ).mean(axis=(0, 1))
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("k,sigma", [(0.2, 1.0), (0.5, 2.0)])
+def test_fit_generalized_pareto(k, sigma):
+    from pyro_tpu.ops.stats import fit_generalized_pareto
+
+    # inverse-CDF sampling of GPD(k, sigma)
+    u = jax.random.uniform(jax.random.key(13), (20000,))
+    X = sigma * ((1 - u) ** (-k) - 1) / k
+    fit_k, fit_sigma = fit_generalized_pareto(X)
+    np.testing.assert_allclose(float(fit_k), k, atol=0.05)
+    np.testing.assert_allclose(float(fit_sigma), sigma, rtol=0.05)
