@@ -71,11 +71,24 @@ class AutoStructured(AutoGuide):
                 deps = get_dependencies(
                     self.model, self._proto_args, self._proto_kwargs
                 )["posterior_dependencies"]
-            self._deps = {
-                d: [u for u in ups if u != d and u in self._transforms]
-                for d, ups in deps.items()
-                if d in self._transforms
+            # posterior edges with PRIOR (model) ordering, so each site's
+            # conditional shifts only from already-sampled upstreams
+            # (ref structured.py:149-162)
+            prior_order = {
+                name: i for i, name in enumerate(self._transforms)
             }
+            self._deps = {d: [] for d in self._transforms}
+            for d, ups in deps.items():
+                if d not in self._transforms:
+                    continue
+                for u in ups:
+                    if u == d or u not in self._transforms:
+                        continue
+                    late, early = (
+                        (u, d) if prior_order[u] > prior_order[d] else (d, u)
+                    )
+                    if early not in self._deps[late]:
+                        self._deps[late].append(early)
         else:
             self._deps = {
                 d: list(ups) for d, ups in self.dependencies.items()
