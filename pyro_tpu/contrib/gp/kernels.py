@@ -160,10 +160,10 @@ class Periodic(Kernel):
         X = self._slice_input(X)
         Z = X if Z is None else self._slice_input(Z)
         d = X[:, None, :] - Z[None, :, :]
-        sin2 = jnp.sin(math.pi * d / self.period) ** 2
-        return self.variance * jnp.exp(
-            -2 * jnp.sum(sin2, -1) / self.lengthscale**2
-        )
+        # per-dimension lengthscales divide INSIDE the feature sum
+        # (ref periodic.py:77: scaled_sin = sin(pi d / p) / l)
+        scaled_sin = jnp.sin(math.pi * d / self.period) / self.lengthscale
+        return self.variance * jnp.exp(-2 * jnp.sum(scaled_sin**2, -1))
 
 
 class Cosine(Isotropy):
@@ -262,12 +262,14 @@ class Coregionalize(Kernel):
         if components is None:
             import jax
 
-            components = 0.5 * jax.random.normal(
+            # expected value eye/2, as upstream (coregionalize.py:55)
+            components = (0.5 / rank) ** 0.5 * jax.random.normal(
                 jax.random.key(0), (input_dim, rank)
             )
         self._register_param("components", components)
         if diagonal is None:
-            diagonal = jnp.ones(input_dim)
+            # total kernel has expected value eye (ref coregionalize.py:68)
+            diagonal = 0.5 * jnp.ones(input_dim)
         self._register_param("diagonal", diagonal, constraints.positive)
 
     def forward(self, X, Z=None, diag=False):
