@@ -92,8 +92,12 @@ class IndependentMaternGP(TimeSeriesModel):
         return dist.IndependentHMM(base)
 
     def log_prob(self, targets):
-        """targets: (T, obs_dim)."""
-        return self.get_dist(duration=targets.shape[0]).log_prob(targets)
+        """targets: (T, obs_dim) -> per-dim log probs of shape
+        (obs_dim,) (ref ``gp.py:107``: each Matern GP is independent and
+        scored separately)."""
+        base = self.get_dist(duration=targets.shape[0]).base_dist
+        value = jnp.moveaxis(targets, -1, 0)[..., None]
+        return base.log_prob(value)
 
     def _filter_state(self, targets):
         A, Q = self.kernel.transition_matrix_and_covariance(

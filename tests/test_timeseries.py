@@ -50,7 +50,8 @@ def test_matern_gp_logprob_and_train(nu):
     ) + 0.1 * jax.random.normal(key, (T, D))
     gp = IndependentMaternGP(nu=nu, obs_dim=D)
     lp = gp.log_prob(targets)
-    assert np.isfinite(float(lp))
+    assert lp.shape == (D,)  # per-dim log probs, as upstream
+    assert np.isfinite(np.asarray(lp)).all()
     losses = _train(gp, targets, steps=100)
     assert losses[-1] < losses[0]
 
