@@ -126,3 +126,38 @@ def test_transforming_kernels():
         np.asarray(k(warp(X), warp(Z))),
         rtol=1e-5,
     )
+
+
+def test_gpr_closed_form_posterior():
+    """GPRegression predictive mean/cov equals the closed-form GP
+    conditional k(X*,X)(K+sigma^2 I)^-1 ... (ref tests/contrib/gp)."""
+    import pyro_tpu as pyro
+    from pyro_tpu.contrib import gp
+
+    pyro.clear_param_store()
+    key = __import__("jax").random.key(0)
+    import jax
+
+    Xtr = jnp.linspace(-2.0, 2.0, 12)[:, None]
+    ytr = jnp.sin(Xtr[:, 0]) + 0.05 * jax.random.normal(key, (12,))
+    Xte = jnp.linspace(-1.5, 1.5, 5)[:, None]
+    noise = 0.04
+
+    kernel = gp.kernels.RBF(
+        1, variance=jnp.asarray([1.3]), lengthscale=jnp.asarray([0.7])
+    )
+    model = gp.models.GPRegression(Xtr, ytr, kernel, noise=jnp.asarray(noise))
+    mean, cov = model(Xte, full_cov=True)
+
+    Kxx = kernel(Xtr) + noise * jnp.eye(12)
+    Ksx = kernel(Xte, Xtr)
+    Kss = kernel(Xte)
+    sol = jnp.linalg.solve(Kxx, np.asarray(ytr))
+    expected_mean = Ksx @ sol
+    expected_cov = Kss - Ksx @ jnp.linalg.solve(Kxx, Ksx.T)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(expected_mean), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov), np.asarray(expected_cov), rtol=1e-3, atol=1e-4
+    )
