@@ -177,9 +177,29 @@ def posterior_eig(
         key_train, sub = jax.random.split(key_train)
         loss, grads = grad_fn(params, sub)
         store.set_all_unconstrained(optim(params, grads))
-    # final bound value (up to the prior entropy constant)
+    # EIG = H(prior over targets) - APE (ref ``eig.py:87``
+    # ``_eig_from_ape``): mean-field analytic entropy when available,
+    # Monte Carlo otherwise
     params = store.get_all_unconstrained()
-    return -loss_fn(params, jax.random.fold_in(key_train, 9))
+    ape_neg = -loss_fn(params, jax.random.fold_in(key_train, 9))
+    tr = _trace_model(model, design, jax.random.fold_in(key_train, 11))
+    prior_entropy = 0.0
+    for n in target_labels:
+        fn = tr.nodes[n]["fn"]
+        try:
+            prior_entropy = prior_entropy + jnp.sum(fn.entropy())
+        except (NotImplementedError, AttributeError):
+            keys = jax.random.split(jax.random.fold_in(key_train, 12), 200)
+
+            def neg_lp(k, name=n):
+                t = _trace_model(model, design, k)
+                t.compute_log_prob()
+                return -jnp.sum(t.nodes[name]["log_prob"])
+
+            prior_entropy = prior_entropy + jnp.mean(
+                jax.vmap(neg_lp)(keys)
+            )
+    return prior_entropy + ape_neg
 
 
 def vnmc_eig(

@@ -77,9 +77,10 @@ def test_posterior_eig_trains_guide():
             rng_key=jax.random.key(2),
         )
     )
-    # bound = E log q(theta|y); for the exact posterior it equals
-    # -0.5 log(2 pi e sigma_post^2) with sigma_post^2 = 0.5
-    expected = -0.5 * np.log(2 * np.pi * np.e * 0.5)
+    # posterior_eig returns the EIG = H(prior) - APE (ref
+    # _eig_from_ape); with unit prior/noise the true EIG is
+    # 0.5 log(1 + 1/1) = 0.5 log 2
+    expected = 0.5 * np.log(2.0)
     assert abs(bound - expected) < 0.15, (bound, expected)
 
 
