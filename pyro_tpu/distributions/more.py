@@ -38,7 +38,7 @@ from .continuous import Exponential, Gamma, Normal, UnivariateMixin
 from .discrete import Categorical, OneHotCategorical
 from .distribution import Distribution, TransformedDistribution
 from .multivariate import LKJCholesky, MultivariateNormal
-from .transforms import StickBreakingTransform
+from .transforms import StickBreakingTransform, Transform
 from .util import broadcast_shape
 
 
@@ -247,39 +247,39 @@ class LKJ(TransformedDistribution):
     support = constraints.corr_matrix
 
     def __init__(self, dim, concentration=1.0):
-        from .transforms import Transform
 
         base = LKJCholesky(dim, concentration)
         self.dim = dim
         self.concentration = base.concentration
-
-        class _CorrCholToMatrix(Transform):
-            domain = constraints.corr_cholesky
-            codomain = constraints.corr_matrix
-
-            def __call__(self, x):
-                return x @ jnp.swapaxes(x, -1, -2)
-
-            def _inverse(self, y):
-                return jnp.linalg.cholesky(y)
-
-            def log_abs_det_jacobian(self, x, y):
-                # inverse of CorrMatrixCholeskyTransform (ref
-                # transforms/cholesky.py:64): |J| = prod L_ii^(n-1-i)
-                n = x.shape[-1]
-                order = jnp.arange(n - 1, -1, -1)
-                return jnp.sum(
-                    order
-                    * jnp.log(
-                        jnp.clip(
-                            jnp.diagonal(x, axis1=-2, axis2=-1),
-                            jnp.finfo(x.dtype).tiny,
-                        )
-                    ),
-                    -1,
-                )
-
         super().__init__(base, [_CorrCholToMatrix()])
+
+
+class _CorrCholToMatrix(Transform):
+    # module-level (not defined inside LKJ.__init__) so LKJ pickles
+    domain = constraints.corr_cholesky
+    codomain = constraints.corr_matrix
+
+    def __call__(self, x):
+        return x @ jnp.swapaxes(x, -1, -2)
+
+    def _inverse(self, y):
+        return jnp.linalg.cholesky(y)
+
+    def log_abs_det_jacobian(self, x, y):
+        # inverse of CorrMatrixCholeskyTransform (ref
+        # transforms/cholesky.py:64): |J| = prod L_ii^(n-1-i)
+        n = x.shape[-1]
+        order = jnp.arange(n - 1, -1, -1)
+        return jnp.sum(
+            order
+            * jnp.log(
+                jnp.clip(
+                    jnp.diagonal(x, axis1=-2, axis2=-1),
+                    jnp.finfo(x.dtype).tiny,
+                )
+            ),
+            -1,
+        )
 
 
 class LKJCorrCholesky(LKJCholesky):
