@@ -898,7 +898,13 @@ class LogNormalNegativeBinomial(Distribution):
 
     @property
     def variance(self):
-        raise NotImplementedError
+        # ref log_normal_negative_binomial.py:147: overdispersion kappa
+        kappa = (
+            jnp.exp(self.multiplicative_noise_scale**2)
+            * (1 + 1 / self.total_count)
+            - 1
+        )
+        return self.mean + kappa * self.mean**2
 
     def expand(self, batch_shape, _instance=None):
         batch_shape = tuple(batch_shape)
