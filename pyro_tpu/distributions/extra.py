@@ -112,16 +112,31 @@ class RelaxedBernoulli(Distribution):
 
 class RelaxedBernoulliStraightThrough(RelaxedBernoulli):
     """Hard samples, relaxed gradients
-    (ref ``pyro/distributions/relaxed_straight_through.py``)."""
+    (ref ``pyro/distributions/relaxed_straight_through.py``).
+
+    The reference returns quantized samples whose ``log_prob`` is
+    evaluated at the *unquantized* (soft) sample — torch smuggles the
+    soft value through a ``_unquantize`` tensor attribute.  JAX arrays
+    cannot carry attributes, so the soft value is cached on the
+    distribution instance keyed by the returned array's object identity
+    (sample statements score the exact array ``rsample`` returned, so
+    the cache hits inside trace/jit; any other value falls back to
+    being scored directly, matching the reference's ``getattr``
+    fallback).
+    """
 
     def rsample(self, key, sample_shape=()):
-        soft = super().rsample(key, sample_shape)
-        hard = (soft > 0.5).astype(soft.dtype)
-        return soft + jax.lax.stop_gradient(hard - soft)
+        soft = clamp_probs(super().rsample(key, sample_shape))
+        hard = jnp.round(soft)
+        out = soft + jax.lax.stop_gradient(hard - soft)
+        self._unquantize = (out, soft)
+        return out
 
     def log_prob(self, value):
-        # evaluated at the soft value's quantization; ref quantizes value
-        return super().log_prob(clamp_probs(value))
+        cached = getattr(self, "_unquantize", None)
+        if cached is not None and cached[0] is value:
+            value = cached[1]
+        return super().log_prob(value)
 
 
 class RelaxedOneHotCategorical(Distribution):
@@ -183,14 +198,24 @@ class RelaxedOneHotCategorical(Distribution):
 
 
 class RelaxedOneHotCategoricalStraightThrough(RelaxedOneHotCategorical):
-    """Ref ``relaxed_straight_through.py``."""
+    """Ref ``relaxed_straight_through.py``; ``log_prob`` scores the
+    unquantized sample via the identity cache (see
+    :class:`RelaxedBernoulliStraightThrough`)."""
 
     def rsample(self, key, sample_shape=()):
-        soft = super().rsample(key, sample_shape)
+        soft = clamp_probs(super().rsample(key, sample_shape))
         hard = jax.nn.one_hot(
             jnp.argmax(soft, -1), soft.shape[-1], dtype=soft.dtype
         )
-        return soft + jax.lax.stop_gradient(hard - soft)
+        out = soft + jax.lax.stop_gradient(hard - soft)
+        self._unquantize = (out, soft)
+        return out
+
+    def log_prob(self, value):
+        cached = getattr(self, "_unquantize", None)
+        if cached is not None and cached[0] is value:
+            value = cached[1]
+        return super().log_prob(value)
 
 
 class VonMises3D(Distribution):
@@ -710,7 +735,13 @@ class Empirical(Distribution):
         return jnp.squeeze(out, axis=agg_axis)
 
     def log_prob(self, value):
-        """Log mass exactly at atoms (ref ``empirical.py:log_prob``)."""
+        """Log mass exactly at atoms (ref ``empirical.py:log_prob``);
+        like the reference, vectorized scoring over extra leading dims
+        is ambiguous and raises."""
+        if jnp.ndim(value) > len(self.batch_shape) + len(self.event_shape):
+            raise ValueError(
+                "``value`` must have at most batch_shape + event_shape dims"
+            )
         eq = self.samples == jnp.expand_dims(
             value, self._aggregation_dim
         )

@@ -116,14 +116,22 @@ def config_enumerate(guide=None, default: str = "parallel", expand: bool = False
     def config_fn(msg):
         if msg["type"] != "sample" or msg["is_observed"]:
             return {}
+        if type(msg["fn"]).__name__ == "_Subsample":
+            return {}
+        if num_samples is not None:
+            # TMC local sampling configures ALL sites, continuous included
+            # (ref ``enum.py:119-125``)
+            return {
+                "enumerate": msg["infer"].get("enumerate", default),
+                "num_samples": msg["infer"].get("num_samples", num_samples),
+                "expand": msg["infer"].get("expand", expand),
+                "tmc": msg["infer"].get("tmc", tmc),
+            }
         if not getattr(msg["fn"], "has_enumerate_support", False):
             return {}
         cfg = {"enumerate": msg["infer"].get("enumerate", default)}
         if expand:
             cfg["expand"] = True
-        if num_samples is not None:
-            cfg["num_samples"] = num_samples
-            cfg["tmc"] = tmc
         return cfg
 
     return poutine.infer_config(guide, config_fn=config_fn)

@@ -22,13 +22,37 @@ from .elbo import ELBO
 from .traceenum_elbo import _find_ordinal
 
 
+def _site_dice_factor(site):
+    """Per-site DiCE log-factor (ref ``infer/util.py:174``
+    ``compute_site_dice_factor``): carries the score-function gradient for
+    non-reparameterized proposals and, for multiply-sampled (TMC) sites,
+    the ``-log K`` normalizer *broadcast to the site's packed dims* — so a
+    site inside a plate contributes one ``1/K`` per plate slot, not one
+    globally."""
+    lp = site["packed"]["log_prob"]
+    if site["fn"].has_rsample:
+        base = jnp.zeros_like(lp.value)
+    else:
+        base = lp.value - jax.lax.stop_gradient(lp.value)
+    num_samples = None
+    if site["infer"].get("enumerate"):
+        num_samples = site["infer"].get("num_samples")
+    if num_samples is not None:
+        return packed.PackedTensor(
+            base - math.log(num_samples), lp.dims
+        )
+    if site["fn"].has_rsample:
+        return None  # identically zero: no factor needed
+    return packed.PackedTensor(base, lp.dims)
+
+
 def _compute_tmc_estimate(model_trace, guide_trace):
-    """log Ẑ = contract over sampled dims of Π p / Π q  −  Σ log K
-    (ref ``tracetmc_elbo.py:26``)."""
+    """log Ẑ via one contraction of log(p/q) factors plus per-site DiCE
+    normalizer factors (ref ``tracetmc_elbo.py:26-73``)."""
     log_factors = OrderedDict()
     sum_dims = set()
-    log_denom = 0.0
-    # +log p for every model site
+    # +log p for every model site; prior-proposal latents also get -log p
+    # (the proposal) and a DiCE normalizer factor
     for name, site in model_trace.nodes.items():
         if site["type"] != "sample" or site["infer"].get("_do_not_score"):
             continue
@@ -36,18 +60,19 @@ def _compute_tmc_estimate(model_trace, guide_trace):
         lp = site["packed"]["log_prob"]
         if site["infer"].get("_enumerate_dim") is not None:
             sum_dims.add(site["infer"]["_enumerate_symbol"])
-            if name not in guide_trace.nodes and site["infer"].get(
-                "num_samples"
-            ):
-                # sampled from the prior as its own proposal: p/q cancels
-                # in value; keep the score-function gradient
-                # (ref infer/util.py compute_site_dice_factor num_samples)
-                log_denom += math.log(site["infer"]["num_samples"])
-                lp = packed.PackedTensor(
-                    lp.value - jax.lax.stop_gradient(lp.value), lp.dims
-                )
         log_factors.setdefault(ordinal, []).append(lp)
-    # -log q for every guide site
+        if (
+            name not in guide_trace.nodes
+            and not site["is_observed"]
+            and site["infer"].get("num_samples")
+        ):
+            # sampled from the prior as its own proposal: p/q cancels in
+            # value; the dice factor carries 1/K and the score gradient
+            log_factors[ordinal].append(packed.neg(lp))
+            dice = _site_dice_factor(site)
+            if dice is not None:
+                log_factors[ordinal].append(dice)
+    # -log q and a dice factor for every guide site
     for name, site in guide_trace.nodes.items():
         if site["type"] != "sample" or site["infer"].get("_do_not_score"):
             continue
@@ -57,10 +82,11 @@ def _compute_tmc_estimate(model_trace, guide_trace):
         )
         if site["infer"].get("_enumerate_dim") is not None:
             sum_dims.add(site["infer"]["_enumerate_symbol"])
-            if site["infer"].get("num_samples"):
-                log_denom += math.log(site["infer"]["num_samples"])
+        dice = _site_dice_factor(site)
+        if dice is not None:
+            log_factors[ordinal].append(dice)
     result = contract_to_tensor(log_factors, sum_dims)
-    return result.value - log_denom
+    return result.value
 
 
 class TraceTMC_ELBO(ELBO):

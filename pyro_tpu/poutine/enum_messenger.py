@@ -22,6 +22,69 @@ from .messenger import Messenger
 from .runtime import _ENUM_ALLOCATOR
 
 
+def _tmc_sample(msg, key) -> jnp.ndarray:
+    """TMC multi-sample 'enumeration' with ancestor thinning (ref
+    ``poutine/enum_messenger.py:17`` ``_tmc_mixture_sample`` and ``:67``
+    ``_tmc_diagonal_sample``).
+
+    A fat sample ``(K,) + batch_shape`` would make each particle depend on
+    every upstream particle combination — K^depth joint materialization on
+    chains.  The reference thins each non-plate batch dim of size > 1
+    (an upstream site's particle dim) down to one ancestor per particle:
+    ``diagonal`` identifies particle k with ancestor k; ``mixture`` draws
+    the ancestor uniformly at random per particle.
+    """
+    import jax
+
+    dist = msg["fn"]
+    num_samples = msg["infer"]["num_samples"]
+    strategy = msg["infer"].get("tmc", "diagonal")
+    if strategy not in ("diagonal", "mixture"):
+        raise ValueError(f"{strategy} not a valid TMC strategy")
+
+    # plate dims keep their extent; all other batch dims get thinned to 1
+    batch_shape = [1] * len(dist.batch_shape)
+    for f in msg["cond_indep_stack"]:
+        if f.dim is not None:
+            batch_shape[f.dim] = (
+                f.size if f.size > 0 else dist.batch_shape[f.dim]
+            )
+    key, sub = jax.random.split(key)
+    fat = dist.sample(sub, (num_samples,))
+    event_ndim = len(dist.event_shape)
+    target_shape = (num_samples,) + tuple(batch_shape) + tuple(
+        dist.event_shape
+    )
+    if fat.shape == target_shape:
+        return fat
+
+    thin = fat
+    n_batch = len(dist.batch_shape)
+    for i in range(n_batch):
+        axis = 1 + i  # position in fat (after the leading particle dim)
+        size = thin.shape[axis]
+        if size <= 1 or batch_shape[i] != 1:
+            continue
+        if strategy == "diagonal":
+            # particle k takes ancestor k (sizes match when every site
+            # uses the same num_samples; % guards ragged settings)
+            ancestor = jnp.arange(num_samples) % size
+        else:
+            key, sub = jax.random.split(key)
+            ancestor = jax.random.randint(
+                sub, (num_samples,), 0, size
+            )
+        idx = ancestor.reshape((num_samples,) + (1,) * (thin.ndim - 1))
+        thin = jnp.take_along_axis(
+            thin, jnp.broadcast_to(
+                idx,
+                thin.shape[:axis] + (1,) + thin.shape[axis + 1:],
+            ), axis=axis,
+        )
+    assert thin.shape == target_shape, (thin.shape, target_shape)
+    return thin
+
+
 def enumerate_site(msg) -> jnp.ndarray:
     """Ref ``enum_messenger.py:114``: value over the site's support with
     the cardinality in a fresh leftmost dim."""
@@ -33,14 +96,12 @@ def enumerate_site(msg) -> jnp.ndarray:
         )
     elif num_samples > 1:
         # TMC-style multi-sample enumeration (ref ``infer/enum.py:17``)
-        import jax
-
         key = msg["rng_key"]
         if key is None:
             from .runtime import _next_eager_key
 
             key = _next_eager_key()
-        value = dist.sample(key, (num_samples,))
+        value = _tmc_sample(msg, key)
     else:
         raise ValueError("invalid num_samples")
     assert jnp.ndim(value) == 1 + len(dist.batch_shape) + len(
