@@ -64,7 +64,9 @@ class RenyiELBO(ELBO):
                 if site["type"] == "sample" and not site["infer"].get(
                     "_do_not_score"
                 ):
-                    elbo_p = elbo_p + site["log_prob_sum"]
+                    lps = site["log_prob_sum"]
+                    elbo_p = elbo_p + jax.lax.stop_gradient(lps)
+                    surrogate_p = surrogate_p + lps
             for name, site in guide_trace.nodes.items():
                 if site["type"] == "sample" and not site["infer"].get(
                     "_do_not_score"
@@ -72,37 +74,45 @@ class RenyiELBO(ELBO):
                     log_prob, score_function, entropy_term = site[
                         "score_parts"
                     ]
-                    elbo_p = elbo_p - site["log_prob_sum"]
-                    if not is_identically_zero(score_function):
-                        surrogate_p = surrogate_p + site["log_prob_sum"]
+                    lps = site["log_prob_sum"]
+                    elbo_p = elbo_p - jax.lax.stop_gradient(lps)
+                    if not is_identically_zero(entropy_term):
+                        # reparameterized: pathwise -log q
+                        surrogate_p = surrogate_p - lps
+                        if not is_identically_zero(score_function):
+                            # ref renyi_elbo.py:175 (pyro issue #1222)
+                            raise NotImplementedError(
+                                "RenyiELBO does not support mixed "
+                                "reparameterized + score-function sites"
+                            )
+                    elif not is_identically_zero(score_function):
+                        # score-function: +alpha/(1-alpha) log q
+                        # (ref renyi_elbo.py:178-183)
+                        surrogate_p = surrogate_p + (
+                            self.alpha / (1.0 - self.alpha)
+                        ) * lps
             elbo_particles.append(elbo_p)
             surrogate_particles.append(surrogate_p)
 
         elbo_particles = jnp.stack(elbo_particles)
+        surrogate_particles = jnp.stack(surrogate_particles)
         log_weights = (1.0 - self.alpha) * elbo_particles
         log_mean_weight = logsumexp(log_weights, axis=0) - jnp.log(
             float(self.num_particles)
         )
         elbo = log_mean_weight / (1.0 - self.alpha)
 
-        # reparameterized gradient flows through elbo_particles; score
-        # function terms weighted by normalized importance weights
-        weights = jax.nn.softmax(jax.lax.stop_gradient(log_weights))
-        if surrogate_particles and not all(
-            isinstance(s, float) and s == 0.0 for s in surrogate_particles
-        ):
-            surrogate_particles = jnp.stack(surrogate_particles)
-            score_term = jnp.sum(
-                weights
-                * (
-                    jax.lax.stop_gradient(elbo_particles)
-                    * surrogate_particles
-                )
-            )
-        else:
-            score_term = 0.0
-        surrogate = elbo + score_term
-        return -(surrogate + jax.lax.stop_gradient(elbo - surrogate))
+        # normalized importance weights (detached) weight each particle's
+        # surrogate (ref renyi_elbo.py:225-229)
+        normalized_weights = jnp.exp(
+            jax.lax.stop_gradient(log_weights - log_mean_weight)
+        )
+        surrogate_elbo = jnp.sum(
+            normalized_weights * surrogate_particles
+        ) / float(self.num_particles)
+        return -(
+            surrogate_elbo + jax.lax.stop_gradient(elbo - surrogate_elbo)
+        )
 
     loss_and_grads = differentiable_loss
 

@@ -1,4 +1,4 @@
-"""Gumbel-softmax reparam of Categorical sites (ref
+"""Gumbel-softmax reparam of RelaxedOneHotCategorical sites (ref
 ``pyro/infer/reparam/softmax.py``)."""
 
 from __future__ import annotations
@@ -7,15 +7,20 @@ import jax
 import jax.numpy as jnp
 
 from ... import primitives as pyro
-from ...distributions.continuous import Gumbel
 from ...distributions.delta import Delta
-from ...distributions.discrete import Categorical
+from ...distributions.extra import RelaxedOneHotCategorical
+from ...distributions.continuous import Uniform
+from ...distributions.util import clamp_probs
+from .loc_scale import _unwrap_independent
 from .reparam import Reparam
 
 
 class GumbelSoftmaxReparam(Reparam):
-    """Categorical(z) = argmax(logits + Gumbel noise): the noise is the
-    auxiliary latent; the value is the (hard) argmax."""
+    """Reparametrizer for :class:`RelaxedOneHotCategorical` latents (ref
+    ``softmax.py:12``): the auxiliary latent is parameter-free
+    ``Uniform(0,1)`` noise u per class; the value is
+    ``softmax((logits - log(-log u)) / temperature)``.  Useful for turning
+    multimodal posteriors unimodal; latents only, not likelihoods."""
 
     def apply(self, msg):
         name, fn, value, is_observed = (
@@ -24,14 +29,33 @@ class GumbelSoftmaxReparam(Reparam):
             msg["value"],
             msg["is_observed"],
         )
-        assert isinstance(fn, Categorical)
+        fn, extra_event_dim = _unwrap_independent(fn)
+        assert isinstance(fn, RelaxedOneHotCategorical)
         if is_observed:
-            return msg
-        logits = fn.logits
-        g = pyro.sample(
+            raise NotImplementedError(
+                "GumbelSoftmaxReparam does not support observe statements"
+                f" (at sample site {name!r})"
+            )
+
+        # Differentiably invert the transform for conditioned values
+        # (ref softmax.py:38-41): u = exp(-exp(logits - T*log(value))).
+        u = None
+        if value is not None:
+            logits = jnp.log(clamp_probs(value)) * fn.temperature
+            u = jnp.exp(-jnp.exp(fn.logits - logits))
+
+        proto = fn.logits
+        new_fn = Uniform(jnp.zeros_like(proto), jnp.ones_like(proto))
+        u = pyro.sample(
             f"{name}_uniform",
-            Gumbel(jnp.zeros(logits.shape), 1.0).to_event(1),
+            new_fn.to_event(1 + extra_event_dim),
+            obs=u,
+            infer={"is_observed": is_observed},
         )
-        z = jnp.argmax(logits + g, axis=-1)
-        new_fn = Delta(z, event_dim=0)
-        return {"fn": new_fn, "value": z, "is_observed": True}
+
+        if value is None:
+            g = -jnp.log(-jnp.log(clamp_probs(u)))  # standard Gumbel
+            value = jax.nn.softmax((fn.logits + g) / fn.temperature, axis=-1)
+
+        new_fn = Delta(value, event_dim=extra_event_dim + 1).mask(False)
+        return {"fn": new_fn, "value": value, "is_observed": True}

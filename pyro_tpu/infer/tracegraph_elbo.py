@@ -120,12 +120,15 @@ class TraceGraph_ELBO(ELBO):
 
         * ``-log q(w)`` for guide sites w sampled at-or-after g in the
           GUIDE (earlier guide sites cannot depend on g's value), and
-        * ``log p(w | ...)`` for model sites w executing at-or-after g's
-          own position in the MODEL — this catches model densities of
+        * ``log p(w | ...)`` for model sites w that either execute
+          at-or-after g's own position in the MODEL (catches densities of
           sites sampled *earlier* in the guide but conditioned on g in
-          the model (e.g. p(z3 | z2) when the guide samples z3 before
-          z2), which guide-order pruning would wrongly drop and bias the
-          estimator.
+          the model, e.g. p(z3 | z2) when the guide samples z3 before z2)
+          OR are sampled at-or-after g in the GUIDE (catches p(w) of a
+          site w that executes before g in the model but whose *value*
+          is drawn downstream of g in the guide, e.g. p(z1) when the
+          guide samples z2 then z1 | z2).  Either pruning alone drops a
+          g-dependent term and biases the estimator.
 
         Terms included that do not actually depend on g add variance but
         never bias (their expectation against the score function is
@@ -149,11 +152,14 @@ class TraceGraph_ELBO(ELBO):
                 mft.add(
                     (s["cond_indep_stack"], -s["unscaled_log_prob"] * _as_scale(s))
                 )
-            # model terms from g's own model position onward (auxiliary
-            # guide-only sites conservatively take every model term)
+            # model terms: union of model-order and guide-order downstream
+            # (auxiliary guide-only sites conservatively take every term)
             cutoff = model_position.get(name, 0)
             for mname in model_order:
-                if model_position[mname] >= cutoff:
+                if (
+                    model_position[mname] >= cutoff
+                    or position.get(mname, -1) >= i
+                ):
                     msite = model_trace.nodes[mname]
                     mft.add((msite["cond_indep_stack"], msite["log_prob"]))
             downstream[name] = mft
