@@ -2,12 +2,16 @@
 
 Ref ``pyro/infer/tracegraph_elbo.py:290``.  The reference tracks exact
 data dependencies via provenance-tainted tensors (``TrackNonReparam:239``);
-here dependencies are approximated by trace order — site j is considered
-downstream of site i if j was sampled after i — which the reference also
-relies on as its coarse default ordering (``traceenum_elbo.py:113`` "TODO
-refine this coarse dependency ordering").  This keeps the estimator
-unbiased (extra terms have zero expectation) while still removing all
-upstream cost terms from each score-function coefficient.
+here the same exact dependency sets are computed by jaxpr data-flow
+analysis (``ops/provenance.py:jaxpr_provenance``): the guide is re-traced
+abstractly with each non-reparameterized site's value as a tainted input
+and every other site pinned to its recorded rng key, so reparameterized
+intermediates propagate taints exactly as the reference's
+``ProvenanceTensor`` does.  If the probe fails (e.g. effect guides), the
+estimator falls back to an execution-order overapproximation — site j is
+treated as downstream of site i if j executes at-or-after i in either the
+guide or the model — which adds variance but never bias (the extra terms
+have zero expectation against the score function).
 
 Baselines (ref ``tracegraph_elbo.py:74-170``): per-site decaying-average
 baselines are supported through ``infer={"baseline": {...}}``.
@@ -19,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions.util import is_identically_zero
+from ..poutine.messenger import Messenger
 from .elbo import ELBO
 from .util import MultiFrameTensor
 
@@ -112,7 +117,121 @@ class TraceGraph_ELBO(ELBO):
 
     def _compute_downstream_costs(self, model_trace, guide_trace, guide_order):
         """Cost downstream of each guide site (ref
-        ``tracegraph_elbo.py:_compute_downstream_costs``).
+        ``tracegraph_elbo.py:_compute_downstream_costs``): exact
+        provenance-pruned costs when the dependency probe succeeds,
+        execution-order overapproximation otherwise."""
+        non_reparam = [
+            name
+            for name in guide_order
+            if not is_identically_zero(
+                guide_trace.nodes[name]["score_parts"][1]
+            )
+        ]
+        if non_reparam:
+            try:
+                deps = self._site_dependencies(
+                    model_trace, guide_trace, non_reparam
+                )
+            except Exception:
+                deps = None
+            if deps is not None:
+                downstream = {
+                    name: MultiFrameTensor() for name in non_reparam
+                }
+                for name, site in model_trace.nodes.items():
+                    if site["type"] != "sample" or site["infer"].get(
+                        "_do_not_score"
+                    ):
+                        continue
+                    for key in deps[("m", name)]:
+                        downstream[key].add(
+                            (site["cond_indep_stack"], site["log_prob"])
+                        )
+                for name, site in guide_trace.nodes.items():
+                    if site["type"] != "sample" or site["infer"].get(
+                        "_do_not_score"
+                    ):
+                        continue
+                    for key in deps[("g", name)]:
+                        downstream[key].add(
+                            (site["cond_indep_stack"], -site["log_prob"])
+                        )
+                return downstream
+        return self._order_downstream_costs(
+            model_trace, guide_trace, guide_order
+        )
+
+    def _site_dependencies(self, model_trace, guide_trace, non_reparam):
+        """{("m"/"g", site_name): frozenset(non-reparam guide sites its
+        log_prob depends on)} via one abstract re-trace (the JAX analogue
+        of ref ``tracegraph_elbo.py:239`` TrackNonReparam).  Dependency
+        structure is identical across particles, so the result is cached
+        for the duration of one ``differentiable_loss`` call."""
+        if getattr(self, "_dep_cache", None) is not None:
+            return self._dep_cache
+        from ..ops.provenance import jaxpr_provenance
+        from ..poutine.guide import GuideMessenger
+
+        model, guide, args, kwargs = self._probe_ctx
+        unwrapped = guide
+        while hasattr(unwrapped, "_pyro_unwrapped"):
+            unwrapped = unwrapped._pyro_unwrapped
+        if isinstance(unwrapped, GuideMessenger):
+            raise NotImplementedError("effect guides use the order fallback")
+        if self.vectorize_particles and self.num_particles > 1:
+            model = self._vectorized_num_particles(model)
+            guide = self._vectorized_num_particles(guide)
+
+        guide_keys = {
+            name: site["rng_key"]
+            for name, site in guide_trace.nodes.items()
+            if site["type"] == "sample" and not site["is_observed"]
+        }
+        model_keys = {
+            name: site["rng_key"]
+            for name, site in model_trace.nodes.items()
+            if site["type"] == "sample" and not site["is_observed"]
+        }
+        inputs = {
+            name: guide_trace.nodes[name]["value"] for name in non_reparam
+        }
+
+        from .. import poutine as _poutine
+
+        def probe(values):
+            gm = _DependencyProbeMessenger(values, guide_keys)
+            g_tr = _poutine.trace(gm(guide)).get_trace(*args, **kwargs)
+            for name, v in gm.final_values.items():
+                g_tr.nodes[name]["value"] = v
+            m_tr = _poutine.trace(
+                _DependencyProbeMessenger({}, model_keys)(
+                    _poutine.replay(model, trace=g_tr)
+                )
+            ).get_trace(*args, **kwargs)
+            out = {}
+            for which, tr in (("m", m_tr), ("g", g_tr)):
+                for name, site in tr.nodes.items():
+                    if site["type"] != "sample" or site["infer"].get(
+                        "_do_not_score"
+                    ):
+                        continue
+                    out[(which, name)] = site["fn"].log_prob(site["value"])
+            return out
+
+        deps = jaxpr_provenance(probe, inputs)
+        # every scored site in the original traces must be accounted for
+        for which, tr in (("m", model_trace), ("g", guide_trace)):
+            for name, site in tr.nodes.items():
+                if site["type"] == "sample" and not site["infer"].get(
+                    "_do_not_score"
+                ):
+                    if (which, name) not in deps:
+                        raise KeyError((which, name))
+        self._dep_cache = deps
+        return deps
+
+    def _order_downstream_costs(self, model_trace, guide_trace, guide_order):
+        """Execution-order fallback (superset of the true dependents).
 
         Execution order bounds the true dependency relation in each trace:
         a term can only depend on values computed before it.  So for guide
@@ -175,6 +294,8 @@ class TraceGraph_ELBO(ELBO):
             rng_key = _next_eager_key()
         self._bl_in = dict(loss_state) if loss_state else {}
         self._bl_out = {}
+        self._probe_ctx = (model, guide, args, kwargs)
+        self._dep_cache = None
         loss = 0.0
         surrogate = 0.0
         for model_trace, guide_trace in self._get_traces(
@@ -209,3 +330,39 @@ class TraceGraph_ELBO(ELBO):
 def _as_scale(site):
     s = site["scale"]
     return s if not isinstance(s, (int, float)) else s
+
+
+class _DependencyProbeMessenger(Messenger):
+    """Abstract re-trace helper for provenance.
+
+    Every latent is pinned to its recorded rng key, so the re-run is
+    value-identical to the original trace.  A probed (non-reparameterized)
+    site's value is then rebound to ``probe_input + 0 * sampled``: the
+    taint set becomes {its own name} ∪ taints(distribution params), which
+    is exactly the reference's ``TrackNonReparam`` semantics — the sampled
+    value of a non-reparameterized site depends on its own draw AND on
+    everything its distribution's parameters depend on (the draw flows
+    through the sampling map).  ``final_values`` holds the rebound values
+    (the trace messenger records before this post hook runs, so the caller
+    patches them back into the trace for the model replay)."""
+
+    def __init__(self, values, keys):
+        super().__init__()
+        self.values = values
+        self.keys = keys
+        self.final_values = {}
+
+    def _pyro_sample(self, msg):
+        if msg["is_observed"]:
+            return
+        name = msg["name"]
+        if name in self.keys and self.keys[name] is not None:
+            msg["rng_key"] = self.keys[name]
+
+    def _pyro_post_sample(self, msg):
+        name = msg["name"]
+        if msg["is_observed"] or name not in self.values:
+            return
+        v = self.values[name]
+        msg["value"] = v + msg["value"] * jnp.zeros_like(v)
+        self.final_values[name] = msg["value"]
