@@ -53,13 +53,8 @@ def broadcast_shape(*shapes: Sequence[int], strict: bool = False) -> tuple:
         for i, size in enumerate(reversed(shape)):
             if i >= len(reversed_shape):
                 reversed_shape.append(size)
-            elif reversed_shape[i] == 1 and (not strict or size == 1 or True):
-                if strict and size != 1 and reversed_shape[i] == 1:
-                    # strict: existing 1 may only stay 1 or be replaced if it
-                    # came from padding; mirror reference semantics
-                    reversed_shape[i] = size
-                else:
-                    reversed_shape[i] = size
+            elif reversed_shape[i] == 1 and not strict:
+                reversed_shape[i] = size
             elif reversed_shape[i] != size and (size != 1 or strict):
                 raise ValueError(
                     f"shape mismatch: objects cannot be broadcast to a "
@@ -68,11 +63,44 @@ def broadcast_shape(*shapes: Sequence[int], strict: bool = False) -> tuple:
     return tuple(reversed(reversed_shape))
 
 
-def sum_rightmost(value, dim: int):
-    """Sum out the rightmost ``dim`` dimensions (ref torch.distributions.utils)."""
+def sum_rightmost(value, dim):
+    """Sum out the rightmost ``dim`` dimensions (ref ``util.py:253``).
+
+    ``dim == 0`` is a no-op; ``float('inf')`` sums everything; negative
+    ``dim`` keeps the leftmost ``-dim`` dimensions.
+    """
+    import numbers
+
+    if isinstance(value, numbers.Number):
+        return value
+    ndim = jnp.ndim(value)
+    if dim == float("inf"):
+        return jnp.sum(value)
+    if dim < 0:
+        dim += ndim
     if dim == 0:
         return value
-    return jnp.sum(value, axis=tuple(range(-dim, 0)))
+    if dim >= ndim:
+        return jnp.sum(value)
+    return jnp.sum(value, axis=tuple(range(-int(dim), 0)))
+
+
+def sum_leftmost(value, dim):
+    """Sum out the leftmost ``dim`` dimensions (ref ``util.py:279``)."""
+    import numbers
+
+    if isinstance(value, numbers.Number):
+        return value
+    ndim = jnp.ndim(value)
+    if dim == float("inf"):
+        return jnp.sum(value)
+    if dim < 0:
+        dim += ndim
+    if dim == 0:
+        return value
+    if dim >= ndim:
+        return jnp.sum(value)
+    return jnp.sum(value, axis=tuple(range(0, int(dim))))
 
 
 def scale_and_mask(tensor, scale=1.0, mask=None):

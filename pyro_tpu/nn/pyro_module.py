@@ -73,7 +73,10 @@ class PyroModule:
 
     @property
     def _pyro_prefix(self):
-        return self._pyro_name or type(self).__name__
+        # Reference semantics (ref ``nn/module.py:448-452``): an unnamed
+        # root module contributes NO prefix — a root attribute ``y`` is the
+        # param site ``"y"``, a nested one ``"p.w"``.
+        return self._pyro_name
 
     def _pyro_set_supermodule(self, name: str, context: "_Context"):
         object.__setattr__(self, "_pyro_name", name)
@@ -86,6 +89,10 @@ class PyroModule:
 
     def __setattr__(self, name: str, value: Any) -> None:
         if isinstance(value, PyroParam):
+            # re-declaring a param forgets any previously registered value
+            # (module-local semantics, ref ``test_module_cache``)
+            if name in self._pyro_params:
+                self._pyro_forget_param(name)
             self._pyro_params[name] = value
             self.__dict__.pop(name, None)
             return
@@ -93,11 +100,41 @@ class PyroModule:
             self._pyro_samples[name] = value
             self.__dict__.pop(name, None)
             return
+        if name in self.__dict__.get("_pyro_params", {}):
+            # assigning a raw value to an existing PyroParam attribute sets
+            # the CONSTRAINED value through the store (ref ``nn/module.py``
+            # ``__setattr__`` torch-Parameter update path)
+            from ..params.param_store import get_param_store
+
+            getattr(self, name)  # ensure registered
+            get_param_store()[_make_name(self._pyro_prefix, name)] = value
+            return
         if isinstance(value, PyroModule):
+            old = self.__dict__.get(name)
+            if isinstance(old, PyroModule) and old is not value:
+                # replacing a submodule drops its registered store state so
+                # the new module's inits take effect (the reference gets
+                # this for free from module-local nn.Parameters)
+                old._pyro_forget_all()
             value._pyro_set_supermodule(
                 _make_name(self._pyro_prefix, name), self._pyro_context
             )
         object.__setattr__(self, name, value)
+
+    def _pyro_forget_param(self, name: str) -> None:
+        from ..params.param_store import get_param_store
+
+        store = get_param_store()
+        full = _make_name(self._pyro_prefix, name)
+        if full in store:
+            del store[full]
+
+    def _pyro_forget_all(self) -> None:
+        for name in self._pyro_params:
+            self._pyro_forget_param(name)
+        for value in self.__dict__.values():
+            if isinstance(value, PyroModule):
+                value._pyro_forget_all()
 
     def __getattr__(self, name: str) -> Any:
         # only called when normal lookup fails
@@ -122,16 +159,30 @@ class PyroModule:
             value = pyro.sample(full, prior)
             ctx.set(full, value)
             return value
+        if name.endswith("_unconstrained") and name[: -len("_unconstrained")] in params:
+            # unconstrained view (ref exposes ``x_unconstrained`` leaves)
+            from ..params.param_store import get_param_store
+
+            base = name[: -len("_unconstrained")]
+            getattr(self, base)  # ensure registered
+            store = get_param_store()
+            return store.get_all_unconstrained()[
+                _make_name(self._pyro_prefix, base)
+            ]
         raise AttributeError(
             f"{type(self).__name__!r} object has no attribute {name!r}"
         )
 
     def __delattr__(self, name: str) -> None:
         if name in self._pyro_params:
+            self._pyro_forget_param(name)
             del self._pyro_params[name]
         elif name in self._pyro_samples:
             del self._pyro_samples[name]
         else:
+            value = self.__dict__.get(name)
+            if isinstance(value, PyroModule):
+                value._pyro_forget_all()
             object.__delattr__(self, name)
 
     def __call__(self, *args, **kwargs):
@@ -149,6 +200,32 @@ class PyroModule:
         for key, value in self.__dict__.items():
             if isinstance(value, PyroModule):
                 yield from value.named_pyro_params()
+
+    def named_parameters(self, _prefix: str = ""):
+        """Unconstrained leaves, reference-style: a constrained param ``y``
+        appears as ``y_unconstrained``, submodule params as dotted paths
+        relative to this module (ref torch recursion through
+        ``nn/module.py:PyroModule``)."""
+        from ..params.param_store import get_param_store
+
+        store = get_param_store()
+        for name, p in self._pyro_params.items():
+            getattr(self, name)  # ensure registered in the store
+            full = _make_name(self._pyro_prefix, name)
+            is_real = p.constraint is _constraints.real
+            leaf = store.get_all_unconstrained()[full]
+            rel = name if is_real else name + "_unconstrained"
+            yield _make_name(_prefix, rel), leaf
+        for key, value in self.__dict__.items():
+            if isinstance(value, PyroModule):
+                yield from value.named_parameters(_make_name(_prefix, key))
+
+    def modules(self):
+        """Yield self and all submodules (ref torch ``Module.modules``)."""
+        yield self
+        for value in self.__dict__.values():
+            if isinstance(value, PyroModule):
+                yield from value.modules()
 
 
 class PyroModuleList(PyroModule):
@@ -168,6 +245,18 @@ class PyroModuleList(PyroModule):
         return self
 
     def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            # share the underlying modules WITHOUT re-parenting them (their
+            # site names stay owned by the original list, as in torch where
+            # ModuleList slicing shares module-local parameters)
+            out = PyroModuleList()
+            for j, i in enumerate(range(*idx.indices(len(self)))):
+                m = self.__dict__[str(i)]
+                object.__setattr__(out, str(j), m)
+                out._modules_list.append(m)
+            return out
+        if idx < 0:
+            idx += len(self)
         return self.__dict__[str(idx)]
 
     def __len__(self):

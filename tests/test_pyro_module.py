@@ -202,3 +202,212 @@ def test_svi_trains_pyro_module():
     assert abs(
         float(pyro.get_param_store()["guide.loc"]) - 1.0
     ) < 0.1
+
+
+# -- ported reference behaviors (ref tests/nn/test_module.py) ----------------
+
+
+def test_names_no_root_prefix():
+    """Ref ``test_names``: an unnamed root module contributes no prefix."""
+
+    class Model(PyroModule):
+        def __init__(self):
+            super().__init__()
+            self.y = PyroParam(
+                jnp.asarray(1.0), constraint=dist.constraints.positive
+            )
+            self.p = PyroModule()
+            self.p.w = PyroParam(
+                jnp.asarray(4.0), constraint=dist.constraints.positive
+            )
+
+        def forward(self):
+            self.y
+            self.p.w
+
+    m = Model()
+    m()
+    assert set(pyro.get_param_store().keys()) == {"y", "p.w"}
+    assert set(k for k, _ in m.named_pyro_params()) == {"y", "p.w"}
+    # named_parameters uses the _unconstrained suffix for constrained leaves
+    assert set(k for k, _ in m.named_parameters()) == {
+        "y_unconstrained",
+        "p.w_unconstrained",
+    }
+
+
+def test_delete_then_redeclare():
+    """Ref ``test_delete``: re-declaring after delete takes the new init."""
+    m = PyroModule()
+    m.a = PyroParam(jnp.asarray(1.0))
+    assert float(m.a) == 1.0
+    del m.a
+    m.a = PyroParam(jnp.asarray(0.1))
+    assert float(m.a) == pytest.approx(0.1)
+
+
+def test_nested_children():
+    """Ref ``test_nested``: same attribute name in sibling children."""
+
+    class Child(PyroModule):
+        def __init__(self, a):
+            super().__init__()
+            self.a = PyroParam(a, dist.constraints.positive)
+
+    class Family(PyroModule):
+        def __init__(self):
+            super().__init__()
+            self.child1 = Child(jnp.asarray(1.0))
+            self.child2 = Child(jnp.asarray(2.0))
+
+    f = Family()
+    assert float(f.child1.a) == pytest.approx(1.0)
+    assert float(f.child2.a) == pytest.approx(2.0)
+
+
+def test_module_cache_replacement():
+    """Ref ``test_module_cache``: replacing a submodule takes the new
+    module's initial values."""
+
+    class Child(PyroModule):
+        def __init__(self, x):
+            super().__init__()
+            self.a = PyroParam(jnp.asarray(x))
+
+        def forward(self):
+            return self.a
+
+    class Family(PyroModule):
+        def __init__(self):
+            super().__init__()
+            self.c = Child(1.0)
+
+        def forward(self):
+            return self.c.a
+
+    f = Family()
+    assert float(f()) == 1.0
+    f.c = Child(3.0)
+    assert float(f()) == 3.0
+    assert float(f.c()) == 3.0
+
+
+@pytest.mark.parametrize(
+    "constraint_",
+    [
+        dist.constraints.positive,
+        dist.constraints.real,
+        dist.constraints.unit_interval,
+    ],
+    ids=["positive", "real", "unit_interval"],
+)
+@pytest.mark.parametrize("shape", [(), (4,), (3, 2)])
+def test_constraints_matrix(shape, constraint_):
+    """Ref ``test_constraints``: constrained read, unconstrained leaf,
+    constrained assignment, delete."""
+    module = PyroModule()
+    module.x = PyroParam(jnp.full(shape, 1e-4), constraint_)
+
+    assert module.x.shape == shape
+    assert np.all(np.asarray(constraint_.check(module.x)))
+    assert module.x_unconstrained.shape == shape
+
+    # constrained assignment through the attribute
+    new_value = jnp.exp(jnp.asarray(np.random.RandomState(0).randn(*shape))) * 1e-6
+    module.x = new_value
+    assert module.x.shape == shape
+    assert np.all(np.asarray(constraint_.check(module.x)))
+    np.testing.assert_allclose(
+        np.asarray(module.x), np.asarray(new_value), rtol=1e-4
+    )
+
+    del module.x
+    assert "x" not in module._pyro_params
+    assert not hasattr(module, "x")
+    assert not hasattr(module, "x_unconstrained")
+
+
+def test_cache_within_and_across_calls():
+    """Ref ``test_cache``: sample attributes cached within one __call__,
+    fresh across calls; shared context with submodules."""
+
+    class MyModule(PyroModule):
+        def forward(self):
+            return [self.gather(), self.gather()]
+
+        def gather(self):
+            return {"c": self.c, "p.f": self.p.f}
+
+    module = MyModule()
+    module.c = PyroSample(dist.Normal(0.0, 1.0))
+    module.p = PyroModule()
+    module.p.f = PyroSample(dist.Normal(0.0, 1.0))
+
+    assert module._pyro_context is module.p._pyro_context
+
+    r1 = poutine.seed(module, 0)()
+    for key in ["c", "p.f"]:
+        assert r1[0][key] is r1[1][key], key
+    r2 = poutine.seed(module, 1)()
+    for key in ["c", "p.f"]:
+        assert float(r1[0][key]) != float(r2[0][key]), key
+
+
+def test_bayesian_linear_svi_smoke():
+    """Ref ``test_sample``: PyroSample weight + mean-field guide train."""
+    from pyro_tpu.infer import SVI, Trace_ELBO
+    from pyro_tpu.optim import Adam
+
+    class Model(PyroModule):
+        def __init__(self, in_features, out_features):
+            super().__init__("mod")
+            self.in_features = in_features
+            self.out_features = out_features
+            self.weight = PyroSample(
+                lambda self: dist.Normal(0.0, 1.0)
+                .expand([self.out_features, self.in_features])
+                .to_event(2)
+            )
+
+        def forward(self, data):
+            return pyro.sample(
+                "obs",
+                dist.Normal(self.weight @ data, 1.0).to_event(1),
+                obs=jnp.zeros(self.out_features),
+            )
+
+    class Guide(PyroModule):
+        def __init__(self, in_features, out_features):
+            super().__init__("mod")
+            self.loc = PyroParam(jnp.zeros((out_features, in_features)))
+            self.scale = PyroParam(
+                jnp.ones((out_features, in_features)),
+                constraint=dist.constraints.positive,
+            )
+            self.weight = PyroSample(
+                lambda self: dist.Normal(self.loc, self.scale).to_event(2)
+            )
+
+        def forward(self, data):
+            self.weight
+
+    data = jnp.asarray(np.random.RandomState(0).randn(8))
+    model = Model(8, 2)
+    guide = Guide(8, 2)
+    svi = SVI(model, guide, Adam({"lr": 0.01}), Trace_ELBO())
+    for step in range(3):
+        svi.step(data)
+
+
+def test_module_list_slicing():
+    """Ref ``SliceIndexingModuleListBNN``: slicing shares modules without
+    renaming their sites."""
+    layers = PyroModuleList([Linear(), Linear(), Linear()])
+    head = layers[:-1]
+    assert len(head) == 2
+    assert head[0] is layers[0]
+    layers[0].weight
+    names = set(pyro.get_param_store().keys())
+    assert any(n.endswith("0.weight") for n in names)
+    # negative indexing
+    assert layers[-1] is layers[2]
