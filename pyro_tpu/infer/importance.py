@@ -248,71 +248,139 @@ class CSIS(Importance):
         super().__init__(model, guide, num_inference_samples)
         self.optim = optim
         self.training_batch_size = training_batch_size
-        self._svi = None
+        self.validation_batch_size = validation_batch_size
+        self.validation_batch = None
         self._rng = jax.random.key(41)
+
+    def _sample_joint_data(self, key, n, args, kwargs):
+        """Prior simulations (ref ``csis.py:190`` ``_sample_from_joint``).
+        Each element is a ``(latents, observations)`` pair of {site: value}
+        dicts from one unconditioned model trace — ``uncondition`` marks
+        previously-observed sites with ``infer["was_observed"]`` so their
+        simulated values can be fed back to the guide as data."""
+        batch = []
+        for k in jax.random.split(key, n):
+            with poutine.block():
+                mt = poutine.trace(
+                    poutine.seed(poutine.uncondition(self.model), rng_key=k)
+                ).get_trace(*args, **kwargs)
+            latents, observations = {}, {}
+            for name, site in mt.nodes.items():
+                if site["type"] != "sample":
+                    continue
+                if site["infer"].get("was_observed") or site["is_observed"]:
+                    observations[name] = site["value"]
+                else:
+                    latents[name] = site["value"]
+            batch.append((latents, observations))
+        return batch
+
+    def _guide_nll(self, params, key, batch, args, kwargs):
+        """-mean_i log q(x_i | y_i) over matched guide traces: each guide
+        run receives the simulation's observed values via the
+        ``observations`` kwarg (inference-compilation training across
+        simulated datasets) and is conditioned on the simulation's latents
+        (ref ``csis.py:91`` ``loss_and_grads`` /
+        ``:161`` ``_get_matched_trace``)."""
+        from ..infer.svi import ParamsMessenger
+        from ..params.param_store import get_param_store
+
+        store = get_param_store()
+        total = 0.0
+        for k2, (latents, observations) in zip(
+            jax.random.split(key, len(batch)), batch
+        ):
+            data = {
+                name: jax.lax.stop_gradient(v)
+                for name, v in latents.items()
+            }
+            run_kwargs = dict(kwargs)
+            run_kwargs["observations"] = {
+                name: jax.lax.stop_gradient(v)
+                for name, v in observations.items()
+            }
+            with ParamsMessenger(params, store):
+                gt = poutine.trace(
+                    poutine.seed(
+                        poutine.condition(self.guide, data=data),
+                        rng_key=k2,
+                    )
+                ).get_trace(*args, **run_kwargs)
+            gt = prune_subsample_sites(gt)
+            gt.compute_log_prob()
+            total = total - gt.log_prob_sum()
+        return total / len(batch)
+
+    def _init_params(self, key, args, kwargs):
+        """Register guide params by tracing once without overrides."""
+        k1, k2 = jax.random.split(key)
+        latents, observations = self._sample_joint_data(k1, 1, args, kwargs)[0]
+        run_kwargs = dict(kwargs)
+        run_kwargs["observations"] = observations
+        poutine.trace(
+            poutine.seed(
+                poutine.condition(self.guide, data=latents), rng_key=k2
+            )
+        ).get_trace(*args, **run_kwargs)
+
+    def set_validation_batch(self, *args, **kwargs):
+        """Draw and freeze ``validation_batch_size`` prior simulations
+        (ref ``csis.py:57``)."""
+        self._rng, key = jax.random.split(self._rng)
+        self.validation_batch = self._sample_joint_data(
+            key, self.validation_batch_size, args, kwargs
+        )
+
+    def validation_loss(self, *args, **kwargs) -> float:
+        """Guide NLL on the frozen validation batch — deterministic given
+        the batch, so consecutive calls agree until ``step`` moves the
+        params (ref ``csis.py:145``)."""
+        from ..infer.svi import _MissingParam
+        from ..params.param_store import get_param_store
+
+        if self.validation_batch is None:
+            self.set_validation_batch(*args, **kwargs)
+        store = get_param_store()
+        key = jax.random.key(0)  # fixed: all guide sites are conditioned
+        try:
+            params = store.get_all_unconstrained()
+            loss = self._guide_nll(
+                params, key, self.validation_batch, args, kwargs
+            )
+        except (_MissingParam, KeyError):
+            self._rng, k_init = jax.random.split(self._rng)
+            self._init_params(k_init, args, kwargs)
+            params = store.get_all_unconstrained()
+            loss = self._guide_nll(
+                params, key, self.validation_batch, args, kwargs
+            )
+        return float(jax.device_get(loss))
 
     def step(self, *args, **kwargs) -> float:
         """One gradient step on -E_{p(x,y)}[log q(x|y)]
         (ref ``csis.py:step``)."""
         from ..params.param_store import get_param_store
-        from ..infer.svi import ParamsMessenger, _MissingParam
+        from ..infer.svi import _MissingParam
 
         self._rng, key = jax.random.split(self._rng)
+        k_data, k_guide = jax.random.split(key)
         store = get_param_store()
+        batch = self._sample_joint_data(
+            k_data, self.training_batch_size, args, kwargs
+        )
 
-        def loss_fn(params, key):
-            total = 0.0
-            keys = jax.random.split(key, self.training_batch_size)
-            for k in keys:
-                k1, k2 = jax.random.split(k)
-                with poutine.block():
-                    model_trace = poutine.trace(
-                        poutine.seed(
-                            poutine.uncondition(self.model), rng_key=k1
-                        )
-                    ).get_trace(*args, **kwargs)
-                data = {
-                    name: jax.lax.stop_gradient(site["value"])
-                    for name, site in model_trace.nodes.items()
-                    if site["type"] == "sample"
-                }
-                with ParamsMessenger(params, store):
-                    gt = poutine.trace(
-                        poutine.seed(
-                            poutine.condition(self.guide, data=data),
-                            rng_key=k2,
-                        )
-                    ).get_trace(*args, **kwargs)
-                gt = prune_subsample_sites(gt)
-                gt.compute_log_prob()
-                total = total - gt.log_prob_sum()
-            return total / self.training_batch_size
+        def loss_fn(params):
+            return self._guide_nll(params, k_guide, batch, args, kwargs)
 
         # eager init of guide params
         try:
             params = store.get_all_unconstrained()
-            loss_val, grads = jax.value_and_grad(loss_fn)(params, key)
+            loss_val, grads = jax.value_and_grad(loss_fn)(params)
         except (_MissingParam, KeyError):
-            # register guide params by tracing it once without overrides
-            k1, k2 = jax.random.split(key)
-            with poutine.block():
-                mt = poutine.trace(
-                    poutine.seed(
-                        poutine.uncondition(self.model), rng_key=k1
-                    )
-                ).get_trace(*args, **kwargs)
-                data = {
-                    name: site["value"]
-                    for name, site in mt.nodes.items()
-                    if site["type"] == "sample"
-                }
-                poutine.trace(
-                    poutine.seed(
-                        poutine.condition(self.guide, data=data), rng_key=k2
-                    )
-                ).get_trace(*args, **kwargs)
+            self._rng, k_init = jax.random.split(self._rng)
+            self._init_params(k_init, args, kwargs)
             params = store.get_all_unconstrained()
-            loss_val, grads = jax.value_and_grad(loss_fn)(params, key)
+            loss_val, grads = jax.value_and_grad(loss_fn)(params)
         new_params = self.optim(params, grads)
         store.set_all_unconstrained(new_params)
         return float(jax.device_get(loss_val))
