@@ -192,6 +192,124 @@ def test_subsample_gradient(Elbo, reparameterized, subsample):
 @pytest.mark.parametrize(
     "reparameterized", [True, False], ids=["reparam", "nonreparam"]
 )
+@pytest.mark.parametrize(
+    "Elbo",
+    [Trace_ELBO, TraceGraph_ELBO, TraceMeanField_ELBO, TraceEnum_ELBO],
+    ids=lambda c: c.__name__,
+)
+def test_plate_nuisance_sites(Elbo, reparameterized):
+    """Explicit particles plate (dim=-2) + nuisance sites sampled in
+    DIFFERENT orders by model and guide (ref ``test_gradient.py:224``):
+    interleaved unrelated sites must not corrupt the z gradient — a
+    direct regression test for TraceGraph downstream-cost ordering."""
+    if Elbo is TraceMeanField_ELBO and not reparameterized:
+        pytest.skip("mean-field requires reparameterized guides")
+    Normal = dist.Normal if reparameterized else fakes.NonreparameterizedNormal
+    num_particles = 50000 if reparameterized else 200000
+
+    def model():
+        particles_plate = pyro.plate("particles", num_particles, dim=-2)
+        data_plate = pyro.plate("data", len(DATA), dim=-1)
+        pyro.sample("nuisance_a", Normal(0.0, 1.0))
+        with particles_plate, data_plate:
+            z = pyro.sample("z", Normal(0.0, 1.0))
+        pyro.sample("nuisance_b", Normal(2.0, 3.0))
+        with data_plate, particles_plate:
+            pyro.sample("x", Normal(z, 1.0), obs=DATA)
+        pyro.sample("nuisance_c", Normal(4.0, 5.0))
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros(len(DATA)))
+        scale = pyro.param("scale", jnp.ones(1))
+        pyro.sample("nuisance_c", Normal(4.0, 5.0))
+        with pyro.plate("particles", num_particles, dim=-2):
+            with pyro.plate("data", len(DATA), dim=-1):
+                pyro.sample("z", Normal(loc, scale))
+        pyro.sample("nuisance_b", Normal(2.0, 3.0))
+        pyro.sample("nuisance_a", Normal(0.0, 1.0))
+
+    pyro.clear_param_store()
+    elbo = Elbo(
+        num_particles=1,
+        max_plate_nesting=2,
+        strict_enumeration_warning=False,
+    )
+    elbo.loss(model, guide, rng_key=jax.random.key(99))
+    store = pyro.get_param_store()
+    params = store.get_all_unconstrained()
+
+    def loss_fn(p, k):
+        with ParamsMessenger(p, store):
+            return elbo.differentiable_loss(model, guide, rng_key=k)
+
+    grads = jax.jit(jax.grad(loss_fn))(params, jax.random.key(1))
+    actual = {k: np.asarray(v) / num_particles for k, v in grads.items()}
+    expected = {"loc": np.array([0.5, -2.0]), "scale": np.array([2.0])}
+    for name in sorted(expected):
+        np.testing.assert_allclose(
+            actual[name],
+            expected[name],
+            atol=0.06 if reparameterized else 0.12,
+            err_msg=f"{Elbo.__name__} {name}",
+        )
+
+
+@pytest.mark.parametrize(
+    "reparameterized", [True, False], ids=["reparam", "nonreparam"]
+)
+@pytest.mark.parametrize(
+    "Elbo",
+    [Trace_ELBO, TraceGraph_ELBO, TraceMeanField_ELBO, TraceEnum_ELBO],
+    ids=lambda c: c.__name__,
+)
+def test_plate_elbo_vectorized_particles(Elbo, reparameterized):
+    """Same nuisance-site model driven through the built-in
+    vectorize_particles machinery (ref ``test_gradient.py:277``)."""
+    if Elbo is TraceMeanField_ELBO and not reparameterized:
+        pytest.skip("mean-field requires reparameterized guides")
+    Normal = dist.Normal if reparameterized else fakes.NonreparameterizedNormal
+    num_particles = 50000 if reparameterized else 200000
+
+    def model():
+        data_plate = pyro.plate("data", len(DATA))
+        pyro.sample("nuisance_a", Normal(0.0, 1.0))
+        with data_plate:
+            z = pyro.sample("z", Normal(0.0, 1.0))
+        pyro.sample("nuisance_b", Normal(2.0, 3.0))
+        with data_plate:
+            pyro.sample("x", Normal(z, 1.0), obs=DATA)
+        pyro.sample("nuisance_c", Normal(4.0, 5.0))
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros(len(DATA)))
+        scale = pyro.param("scale", jnp.ones(1))
+        pyro.sample("nuisance_c", Normal(4.0, 5.0))
+        with pyro.plate("data", len(DATA)):
+            pyro.sample("z", Normal(loc, scale))
+        pyro.sample("nuisance_b", Normal(2.0, 3.0))
+        pyro.sample("nuisance_a", Normal(0.0, 1.0))
+
+    actual = _mean_grads(
+        Elbo,
+        model,
+        guide,
+        num_particles,
+        jax.random.key(1),
+        strict_enumeration_warning=False,
+    )
+    expected = {"loc": np.array([0.5, -2.0]), "scale": np.array([2.0])}
+    for name in sorted(expected):
+        np.testing.assert_allclose(
+            np.asarray(actual[name]),
+            expected[name],
+            atol=0.06 if reparameterized else 0.12,
+            err_msg=f"{Elbo.__name__} {name}",
+        )
+
+
+@pytest.mark.parametrize(
+    "reparameterized", [True, False], ids=["reparam", "nonreparam"]
+)
 def test_scaled_gradient(reparameterized):
     """poutine.scale multiplies the expected gradient exactly
     (ref test_gradient.py:148 scale parametrization)."""
