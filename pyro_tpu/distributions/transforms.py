@@ -716,6 +716,16 @@ class CorrMatrixCholeskyTransform(CholeskyTransform):
     domain = constraints.corr_matrix
     codomain = constraints.corr_cholesky
 
+    def log_abs_det_jacobian(self, x, y):
+        # w.r.t. the strictly-lower free coordinates of the correlation
+        # matrix (diag is fixed at 1), so the exponents drop by one and
+        # the 2^-n diagonal factor disappears (ref ``cholesky.py:64``,
+        # derivation in the LKJCholesky density)
+        n = x.shape[-1]
+        order = jnp.arange(n - 1, -1, -1, dtype=x.dtype)
+        diag = jnp.diagonal(y, axis1=-2, axis2=-1)
+        return -jnp.sum(order * jnp.log(diag), axis=-1)
+
 
 # -- helpers -----------------------------------------------------------------
 

@@ -30,10 +30,14 @@ from .transforms import (
 
 
 class ELUTransform(Transform):
-    """y = ELU(x) (ref ``basic.py:15``)."""
+    """y = ELU(x) (ref ``basic.py:15``).
+
+    The true range of ELU is (-1, inf); the reference declares
+    ``codomain = positive`` (an upstream bug), corrected here.
+    """
 
     domain = constraints.real
-    codomain = constraints.positive
+    codomain = constraints.greater_than(-1.0)
     bijective = True
     sign = 1
 
@@ -344,6 +348,10 @@ class SimplexToOrderedTransform(Transform):
         return s[..., 1:] - s[..., :-1]
 
     def log_abs_det_jacobian(self, x, y):
+        # J is lower triangular in the free simplex coords with diagonal
+        # 1/(s_i (1-s_i)) where logit(s_i) = y_i - anchor; softplus
+        # identity applies to the UN-anchored logits
+        y = y - self.anchor_point[..., None]
         return jnp.sum(
             jax.nn.softplus(y) + jax.nn.softplus(-y), axis=-1
         )

@@ -214,6 +214,20 @@ def contract_to_tensor(
     return ring.broadcast(term, target_ordinal)
 
 
+def _validate_sizes(inputs, operands):
+    """Consistent per-symbol sizes across operands (ref raises
+    'Dimension size mismatch')."""
+    sizes: Dict[str, int] = {}
+    for inp, op in zip(inputs, operands):
+        for d, sz in zip(inp, jnp.shape(op)):
+            old = sizes.setdefault(d, sz)
+            if old != sz:
+                raise ValueError(
+                    f"Dimension size mismatch at dim '{d}': {sz} vs {old}"
+                )
+    return sizes
+
+
 def ubersum(equation: str, *operands, plates: str = "", backend=None):
     """Plate-aware log-space einsum (ref ``contract.py:276`` ``einsum`` with
     the pyro.ops.einsum.torch_log backend; multiple comma-separated outputs
@@ -221,6 +235,7 @@ def ubersum(equation: str, *operands, plates: str = "", backend=None):
     inputs, outputs = equation.split("->")
     inputs = inputs.split(",")
     outputs = outputs.split(",")
+    _validate_sizes(inputs, operands)
     packed_terms = [
         PackedTensor(jnp.asarray(x), dims)
         for x, dims in zip(operands, inputs)
@@ -352,17 +367,9 @@ def naive_ubersum(equation: str, *operands, plates: str = ""):
     (output,) = outputs
     inputs = inputs_str.split(",")
     plate_set = set(plates)
+    sizes = _validate_sizes(inputs, operands)
     if not plate_set:
         return (_naive_log_einsum(equation, *operands),)
-
-    sizes = {}
-    for inp, op in zip(inputs, operands):
-        for d, sz in zip(inp, jnp.shape(op)):
-            old = sizes.setdefault(d, sz)
-            if old != sz:
-                raise ValueError(
-                    f"Dimension size mismatch at dim '{d}': {sz} vs {old}"
-                )
 
     # plate context of each contraction dim = intersection over inputs
     dim_to_ordinal: dict = {}
@@ -370,6 +377,14 @@ def naive_ubersum(equation: str, *operands, plates: str = ""):
         ordinal = dims & plate_set
         for d in dims - plate_set:
             dim_to_ordinal[d] = dim_to_ordinal.get(d, ordinal) & ordinal
+
+    # preserving a plate-local sum dim without all of its plates is
+    # nonsensical (ref contract.py:307 _check_plates_are_sensible)
+    output_plates = set(output) & plate_set
+    for d in output:
+        if d not in plate_set:
+            missing = dim_to_ordinal.get(d, set()) - output_plates
+            _check_plates_are_sensible({d}, missing)
 
     symbol_table: dict = {}
     counter = _it.count()
