@@ -9,6 +9,7 @@ Ref the correspondingly-named files under ``pyro/distributions/``.
 from __future__ import annotations
 
 import math
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -110,33 +111,59 @@ class RelaxedBernoulli(Distribution):
         )
 
 
+class _UnquantizeRegistry:
+    """Value-attached soft-sample registry for straight-through dists.
+
+    The reference smuggles the soft (unquantized) sample through a
+    tensor attribute (``relaxed_straight_through.py:45-58``:
+    ``hard_value._unquantize = soft_value`` read back via ``getattr``
+    in ``log_prob``), so that *any* distribution instance — a fresh
+    model-side instance scoring a guide-drawn value, an unpickled
+    copy — scores the soft sample.  JAX arrays cannot carry
+    attributes, so the association travels through a module-level
+    registry keyed by the hard array's object identity, with a
+    ``weakref.finalize`` on the hard array evicting the entry (works
+    for both concrete ``jax.Array``\\s and tracers, so it is jit-safe
+    and never leaks tracers past their trace's lifetime).  Identity
+    keying matches the reference's fidelity: a value that has been
+    copied or recomputed loses its attribute there too and is scored
+    directly.
+    """
+
+    def __init__(self):
+        self._table = {}
+
+    def attach(self, hard, soft):
+        key = id(hard)
+        self._table[key] = soft
+        weakref.finalize(hard, self._table.pop, key, None)
+        return hard
+
+    def lookup(self, value):
+        return self._table.get(id(value), value)
+
+
+_UNQUANTIZE = _UnquantizeRegistry()
+
+
 class RelaxedBernoulliStraightThrough(RelaxedBernoulli):
     """Hard samples, relaxed gradients
     (ref ``pyro/distributions/relaxed_straight_through.py``).
 
-    The reference returns quantized samples whose ``log_prob`` is
-    evaluated at the *unquantized* (soft) sample — torch smuggles the
-    soft value through a ``_unquantize`` tensor attribute.  JAX arrays
-    cannot carry attributes, so the soft value is cached on the
-    distribution instance keyed by the returned array's object identity
-    (sample statements score the exact array ``rsample`` returned, so
-    the cache hits inside trace/jit; any other value falls back to
-    being scored directly, matching the reference's ``getattr``
-    fallback).
+    ``rsample`` returns the quantized (hard 0/1) sample; ``log_prob``
+    of that array — from *any* instance, matching the reference's
+    value-attached ``_unquantize`` attribute — scores the soft sample
+    it was quantized from (see :class:`_UnquantizeRegistry`).
     """
 
     def rsample(self, key, sample_shape=()):
         soft = clamp_probs(super().rsample(key, sample_shape))
         hard = jnp.round(soft)
         out = soft + jax.lax.stop_gradient(hard - soft)
-        self._unquantize = (out, soft)
-        return out
+        return _UNQUANTIZE.attach(out, soft)
 
     def log_prob(self, value):
-        cached = getattr(self, "_unquantize", None)
-        if cached is not None and cached[0] is value:
-            value = cached[1]
-        return super().log_prob(value)
+        return super().log_prob(_UNQUANTIZE.lookup(value))
 
 
 class RelaxedOneHotCategorical(Distribution):
@@ -208,14 +235,10 @@ class RelaxedOneHotCategoricalStraightThrough(RelaxedOneHotCategorical):
             jnp.argmax(soft, -1), soft.shape[-1], dtype=soft.dtype
         )
         out = soft + jax.lax.stop_gradient(hard - soft)
-        self._unquantize = (out, soft)
-        return out
+        return _UNQUANTIZE.attach(out, soft)
 
     def log_prob(self, value):
-        cached = getattr(self, "_unquantize", None)
-        if cached is not None and cached[0] is value:
-            value = cached[1]
-        return super().log_prob(value)
+        return super().log_prob(_UNQUANTIZE.lookup(value))
 
 
 class VonMises3D(Distribution):

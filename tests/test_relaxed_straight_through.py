@@ -133,6 +133,86 @@ def test_unquantize_cache_identity():
     assert not np.allclose(float(lp_cached), float(lp_hard))
 
 
+@pytest.mark.parametrize("family", ["bernoulli", "onehot"])
+def test_fresh_instance_scores_soft(family):
+    """A *fresh* instance (never sampled from) scores the soft sample —
+    value-attached semantics matching the reference's ``_unquantize``
+    tensor attribute (``relaxed_straight_through.py:40-42``)."""
+    key = jax.random.PRNGKey(11)
+    temp = jnp.asarray(0.4)
+    if family == "bernoulli":
+        q = jnp.asarray([0.2, 0.7, 0.5])
+        p = jnp.asarray([0.6, 0.3, 0.5])
+        ST, Relaxed = dist.RelaxedBernoulliStraightThrough, dist.RelaxedBernoulli
+    else:
+        q = jnp.asarray([0.1, 0.2, 0.3, 0.4])
+        p = jnp.asarray([0.4, 0.3, 0.2, 0.1])
+        ST = dist.RelaxedOneHotCategoricalStraightThrough
+        Relaxed = dist.RelaxedOneHotCategorical
+
+    z = ST(temp, probs=q).rsample(key)
+    # reconstruct the soft sample independently: same key, same base path
+    from pyro_tpu.distributions.util import clamp_probs
+
+    soft = clamp_probs(Relaxed(temp, probs=q).rsample(key))
+    fresh = ST(temp, probs=p)
+    expected = Relaxed(temp, probs=p).log_prob(soft)
+    np.testing.assert_allclose(
+        np.asarray(fresh.log_prob(z)), np.asarray(expected), rtol=1e-6
+    )
+    # and the hard vertex would have scored very differently
+    hard_scored = Relaxed(temp, probs=p).log_prob(clamp_probs(z))
+    assert not np.allclose(np.asarray(expected), np.asarray(hard_scored))
+
+
+def test_fresh_instance_scores_soft_in_elbo():
+    """Model-side scoring of a guide-drawn ST sample inside the Trace_ELBO
+    trace/replay path uses the soft sample even though the model's
+    distribution instance never sampled (the silent ELBO corruption from
+    the round-3 verdict)."""
+    from pyro_tpu import poutine
+    from pyro_tpu.distributions.util import clamp_probs
+
+    temp = jnp.asarray(0.4)
+    q = jnp.asarray([0.1, 0.2, 0.3, 0.4])
+    p = jnp.asarray([0.4, 0.3, 0.2, 0.1])
+
+    def model():
+        pyro.sample(
+            "z",
+            dist.RelaxedOneHotCategoricalStraightThrough(temp, probs=p),
+        )
+
+    def guide():
+        pyro.sample(
+            "z",
+            dist.RelaxedOneHotCategoricalStraightThrough(temp, probs=q),
+        )
+
+    guide_trace = poutine.trace(poutine.seed(guide, 5)).get_trace()
+    model_trace = poutine.trace(
+        poutine.replay(model, trace=guide_trace)
+    ).get_trace()
+    model_trace.compute_log_prob()
+    z = guide_trace.nodes["z"]["value"]
+    # the model-side log_prob must equal the base density at the soft
+    # sample recovered from the value registry, not at the hard vertex
+    from pyro_tpu.distributions.extra import _UNQUANTIZE
+
+    soft = _UNQUANTIZE.lookup(z)
+    assert soft is not z, "guide-drawn value lost its soft attachment"
+    expected = dist.RelaxedOneHotCategorical(temp, probs=p).log_prob(soft)
+    np.testing.assert_allclose(
+        np.asarray(model_trace.nodes["z"]["log_prob"]),
+        np.asarray(expected),
+        rtol=1e-6,
+    )
+    hard_scored = dist.RelaxedOneHotCategorical(temp, probs=p).log_prob(
+        clamp_probs(z)
+    )
+    assert not np.allclose(np.asarray(expected), np.asarray(hard_scored))
+
+
 def test_onehot_svi_usage():
     """Ref test_relaxed_straight_through.py::test_onehot_svi_usage — the ST
     estimator recovers the uniform posterior."""
