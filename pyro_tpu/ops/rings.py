@@ -8,7 +8,8 @@ pairwise step max-shifts both operands over the axes being summed (shifts
 detached and clamped finite), performs a *real* einsum of the shifted
 exponentials — a plain matmul XLA tiles onto the MXU — then returns to log
 space.  This is the "log-einsum-exp on the MXU" strategy from SURVEY §2.8
-P3 (a fused Pallas kernel is a later optimization).
+P3 (a fused Pallas kernel was built, measured slower than XLA's own
+fusion at every bench shape, and retired — see ops/log_matmul.py).
 """
 
 from __future__ import annotations
