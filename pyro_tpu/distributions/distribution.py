@@ -477,13 +477,13 @@ class ExpandedDistribution(Distribution):
     def enumerate_support(self, expand=True):
         support = self.base_dist.enumerate_support(expand=False)
         n = support.shape[0]
+        support = jnp.reshape(
+            support,
+            (n,) + (1,) * len(self.batch_shape) + self.event_shape,
+        )
         if expand:
             support = jnp.broadcast_to(
-                jnp.reshape(
-                    support,
-                    (n,) + (1,) * len(self.batch_shape) + self.event_shape,
-                ),
-                (n,) + self.batch_shape + self.event_shape,
+                support, (n,) + self.batch_shape + self.event_shape
             )
         return support
 

@@ -36,7 +36,10 @@ def _sample_posterior(model, first_available_dim, temperature, rng_key, *args, *
     trace.compute_log_prob()
     trace.pack_tensors()
 
-    # collect factors and the enumerated sites
+    # collect factors and the enumerated sites; a factor's ordinal comes
+    # from its site's plate context (cond_indep_stack), NOT from its
+    # dims — enumerated sites keep compact log_probs (constant-over-
+    # plate factors carry no plate axis), so dims understate the ordinal
     log_factors = []
     enum_sites = OrderedDict()
     sum_dims = set()
@@ -45,7 +48,12 @@ def _sample_posterior(model, first_available_dim, temperature, rng_key, *args, *
             continue
         if site["infer"].get("_do_not_score"):
             continue
-        log_factors.append(site["packed"]["log_prob"])
+        ordinal = frozenset(
+            trace.plate_to_symbol[f.name]
+            for f in site["cond_indep_stack"]
+            if f.dim is not None
+        )
+        log_factors.append((ordinal, site["packed"]["log_prob"]))
         if site["infer"].get("_enumerate_dim") is not None:
             enum_sites[name] = site
             sum_dims.add(site["infer"]["_enumerate_symbol"])
@@ -66,8 +74,7 @@ def _sample_posterior(model, first_available_dim, temperature, rng_key, *args, *
     tensor_tree = OrderedDict()
     present_dims = set()
     dim_to_size = {}
-    for f in log_factors:
-        f_ordinal = frozenset(d for d in f.dims if d not in sum_dims)
+    for f_ordinal, f in log_factors:
         tensor_tree.setdefault(f_ordinal, []).append(f)
         present_dims |= set(f.dims) & sum_dims
         dim_to_size.update(zip(f.dims, f.shape))

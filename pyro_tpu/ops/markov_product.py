@@ -5,19 +5,43 @@ Works on the packed factor representation of ``TraceEnum_ELBO``
 ``sequential_sum_product``; this is the native equivalent).  Given a
 trace containing ``markov_chain`` records (written by
 ``poutine.vectorized_markov``), factors carrying the time-plate symbol
-are combined into per-step transition matrices over the joint Markov
-state and reduced with ``_sequential_logmatmulexp`` — ceil(log2 T)
-rounds of batched MXU log-matmuls — leaving an ordinary factor over the
-chain's endpoint variables for the generic tensor-variable-elimination
-contraction to finish.
+are combined into per-step transition factors over the joint Markov
+state and eliminated, leaving ordinary factors for the generic
+tensor-variable-elimination contraction to finish.
+
+Two elimination strategies, chosen per chain:
+
+1. **Boundary-absorbed forward scan** (the common case: ``history==1``,
+   one Markov var, absorbable endpoint factors).  The chain's left
+   endpoint factors (the un-vectorized first step's transition and
+   emissions) are absorbed into an initial potential ``alpha0`` and the
+   whole chain is contracted by a ``lax.scan`` of batched
+   ``logsumexp`` matvecs — O(T·S²·B) FLOPs, the same contraction order
+   a sequential opt_einsum elimination would pick, and per-step
+   operands built from *compact* factors (the homogeneous transition
+   stays O(S²), never materialized at (B,T,S,S)).
+
+2. **O(log T) pairwise log-matmul product** (general fallback:
+   ``history>=2``, multiple interleaved vars, per-step local enum dims,
+   or non-absorbable boundaries).  Builds the (T, ..., S, S) joint
+   transition matrices time-major and reduces them with ceil(log2 T)
+   rounds of batched MXU log-matmuls — O(T·S³·B) FLOPs but O(log T)
+   depth, leaving an endpoint-pair factor.
+
+The scan wins wall-clock whenever the batched per-step work keeps the
+chip busy (S² per step); the matrix product wins only when depth
+dominates (tiny batch, very long T on multiple chips).  Strategy 1 is
+therefore the default whenever it applies.
 """
 
 from __future__ import annotations
 
+import jax
 from jax.scipy.special import logsumexp
 import jax.numpy as jnp
 
 from . import packed
+from .log_matmul import sequential_logmatmulexp_timemajor
 
 
 def _packed_sum(terms):
@@ -27,6 +51,24 @@ def _packed_sum(terms):
     for p in parts[1:]:
         val = val + p.value
     return val, parts[0].dims
+
+
+def _reduce_to_ordinal(term, ordinal, target_ordinal, sym_size):
+    """Plate-product a factor down from ``ordinal`` to ``target_ordinal``:
+    sum plate dims present in the factor, multiply by plate size for
+    plates the factor is constant over."""
+    val, dims = term.value, term.dims
+    mult = 1.0
+    for sym in ordinal - target_ordinal:
+        if sym in dims:
+            ax = dims.index(sym)
+            val = val.sum(axis=ax)
+            dims = dims[:ax] + dims[ax + 1 :]
+        else:
+            mult = mult * sym_size[sym]
+    if mult != 1.0:
+        val = val * mult
+    return packed.PackedTensor(val, dims)
 
 
 def eliminate_markov_chains(model_trace, log_factors, sum_dims):
@@ -42,7 +84,6 @@ def eliminate_markov_chains(model_trace, log_factors, sum_dims):
     ]
     if not chain_nodes:
         return sum_dims
-    from ..distributions.hmm import _sequential_logmatmulexp
 
     sum_dims = set(sum_dims)
 
@@ -94,9 +135,10 @@ def eliminate_markov_chains(model_trace, log_factors, sum_dims):
             )
 
         # collect and remove every factor of the time plate: those
-        # carrying the time symbol, plus (when the vectorized span has
-        # length 1 and the axis was squeezed on packing) factors inside
-        # the time ordinal that touch the chain's enum symbols
+        # carrying the time symbol, plus (when the factor is constant
+        # over the vectorized span, or the axis was squeezed on packing)
+        # factors inside the time ordinal that touch the chain's enum
+        # symbols
         chain_syms = {s for var in slice_syms for s in var}
 
         def _is_time_factor(ordinal, x):
@@ -119,44 +161,58 @@ def eliminate_markov_chains(model_trace, log_factors, sum_dims):
             *[t for t, _ in consumed]
         )
         assert time_sym in base_ordinal
+        target_ordinal = base_ordinal - {time_sym}
 
         # product over plates strictly inside the chain's ordinal
-        reduced = []
-        for t, term in consumed:
-            val, dims = term.value, term.dims
-            mult = 1.0
-            for sym in t - base_ordinal:
-                if sym in dims:
-                    ax = dims.index(sym)
-                    val = val.sum(axis=ax)
-                    dims = dims[:ax] + dims[ax + 1 :]
-                else:
-                    mult = mult * sym_size[sym]
-            if mult != 1.0:
-                val = val * mult
-            reduced.append(packed.PackedTensor(val, dims))
+        reduced = [
+            _reduce_to_ordinal(term, t, base_ordinal, sym_size)
+            for t, term in consumed
+        ]
+
+        V, h = len(chain_set), history
+        union_dims = set().union(*[set(x.dims) for x in reduced])
+        local = [
+            d
+            for d in union_dims
+            if d not in chain_syms and d != time_sym and d not in sym_size
+        ]
+
+        done = False
+        if V == 1 and h == 1 and not local:
+            done = _try_scan_elimination(
+                log_factors,
+                sum_dims,
+                reduced,
+                int_syms[0][0],
+                slice_syms[0][0],
+                slice_syms[0][1],
+                sizes[0],
+                time_sym,
+                target_ordinal,
+                sym_size,
+            )
+        if done:
+            continue
+
+        # ---- general fallback: O(log T) pairwise matrix product ----
         A, A_dims = _packed_sum(reduced)
 
         # sum out per-step local (non-markov) enum dims
-        local = [
-            d
-            for d in A_dims
-            if d not in chain_syms and d != time_sym and d not in sym_size
-        ]
         if local:
             axes = tuple(A_dims.index(d) for d in local)
             A = logsumexp(A, axis=axes)
             A_dims = "".join(d for d in A_dims if d not in local)
 
-        # lay out as (plates..., time, slot_{v,0..h} per var)
-        V, h = len(chain_set), history
+        # lay out TIME-MAJOR as (time, plates..., slot_{v,0..h} per var):
+        # pair-halving then slices on the major axis, which XLA turns
+        # into cheap block DMAs instead of minor-axis strided copies
         other = "".join(
             d for d in A_dims if d not in chain_syms and d != time_sym
         )
         slot_order = [slice_syms[v][i] for v in range(V) for i in range(h + 1)]
-        target = other + time_sym + "".join(slot_order)
+        target = time_sym + other + "".join(slot_order)
         A = packed.align(packed.PackedTensor(A, A_dims), target).value
-        nb = len(other) + 1
+        nb = 1 + len(other)
         full = A.shape[:nb] + tuple(
             sizes[v] for v in range(V) for _ in range(h + 1)
         )
@@ -195,10 +251,8 @@ def eliminate_markov_chains(model_trace, log_factors, sum_dims):
             S *= sizes[v] ** h
         M = M.reshape(M.shape[:nb] + (S, S))
 
-        # O(log T) chain reduction over the time axis (axis nb-1)
-        R = _sequential_logmatmulexp(
-            jnp.moveaxis(M, nb - 1, -3)
-        )  # (plates..., S, S)
+        # O(log T) chain reduction over the major time axis
+        R = sequential_logmatmulexp_timemajor(M)  # (plates..., S, S)
 
         # unpack windows back to per-slot dims and name them:
         # left window -> the int-step vars; right window -> the aux
@@ -215,8 +269,104 @@ def eliminate_markov_chains(model_trace, log_factors, sum_dims):
         assert len(set(new_dims)) == len(new_dims), new_dims
         term = packed.PackedTensor(R, new_dims)
 
-        target_ordinal = base_ordinal - {time_sym}
         log_factors.setdefault(target_ordinal, []).append(term)
         sum_dims.update(left_syms)
         sum_dims.update(right_syms)
     return sum_dims
+
+
+def _try_scan_elimination(
+    log_factors,
+    sum_dims,
+    reduced,
+    i_sym,
+    l_sym,
+    r_sym,
+    size,
+    time_sym,
+    target_ordinal,
+    sym_size,
+):
+    """Attempt boundary-absorbed forward-scan elimination of one chain.
+
+    Returns True on success (``log_factors``/``sum_dims`` updated) or
+    False to fall back to the matrix-product path, in which case
+    nothing outside the consumed time factors has been touched.
+    """
+    # every remaining factor mentioning the chain's left endpoint must
+    # be absorbable: dims over plates + the endpoint only, at an ordinal
+    # at or inside the chain's
+    absorbed = []
+    for t in log_factors:
+        for x in log_factors[t]:
+            if i_sym not in x.dims:
+                continue
+            if set(x.dims) <= (set(sym_size) | {i_sym}) and t >= target_ordinal:
+                absorbed.append((t, x))
+            else:
+                return False
+    if not absorbed:
+        return False
+
+    absorbed_reduced = [
+        _reduce_to_ordinal(x, t, target_ordinal, sym_size)
+        for t, x in absorbed
+    ]
+
+    plate_syms = sorted(
+        d
+        for d in set().union(
+            *[set(x.dims) for x in reduced + absorbed_reduced]
+        )
+        if d in sym_size and d != time_sym
+    )
+    other = "".join(plate_syms)
+    other_shape = tuple(sym_size[d] for d in plate_syms)
+
+    # initial potential over the left endpoint
+    alpha0 = 0.0
+    for x in absorbed_reduced:
+        alpha0 = alpha0 + packed.align(x, other + i_sym).value
+    alpha0 = jnp.broadcast_to(alpha0, other_shape + (size,))
+
+    # per-step transition factors, kept compact: time-varying terms
+    # become scan inputs, time-constant ones (e.g. a homogeneous
+    # transition matrix, never materialized at (B, T, S, S)) close over
+    # the body
+    xs, consts = [], []
+    for x in reduced:
+        assert set(x.dims) <= set(other) | {time_sym, l_sym, r_sym}, x.dims
+        if time_sym in x.dims:
+            xs.append(
+                packed.align(x, time_sym + other + l_sym + r_sym).value
+            )
+        else:
+            consts.append(packed.align(x, other + l_sym + r_sym).value)
+
+    def step(alpha, xs_t):
+        M = 0.0
+        for v in xs_t:
+            M = M + v
+        for v in consts:
+            M = M + v
+        # alpha: (plates..., l); M: (plates-or-1..., l, r)
+        out = logsumexp(alpha[..., :, None] + M, axis=-2)
+        return out, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, tuple(xs))
+
+    # remove the absorbed factors
+    absorbed_ids = {id(x) for _, x in absorbed}
+    for t in list(log_factors):
+        kept = [x for x in log_factors[t] if id(x) not in absorbed_ids]
+        if kept:
+            log_factors[t] = kept
+        else:
+            del log_factors[t]
+
+    term = packed.PackedTensor(alpha, other + r_sym)
+    log_factors.setdefault(target_ordinal, []).append(term)
+    sum_dims.discard(i_sym)
+    sum_dims.discard(l_sym)
+    sum_dims.add(r_sym)
+    return True

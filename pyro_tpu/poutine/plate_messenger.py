@@ -275,7 +275,22 @@ class PlateMessenger(Messenger):
                 )
         target = tuple(target_batch_shape)
         if target != actual_batch_shape:
-            msg["fn"] = fn.expand(target)
+            if msg["infer"].get("enumerate") == "parallel":
+                # Enumerated sites never draw plate-many samples, so the
+                # plate broadcast can stay LAZY: wrapping (instead of
+                # dist-specific ``expand`` which broadcasts parameters)
+                # lets ``compute_log_prob`` keep the factor compact —
+                # size-1 plate axes the packed TVE engine squeezes away.
+                # For a homogeneous hidden-Markov transition this is the
+                # difference between an O(K^2) and an O(K^2 * B * T)
+                # factor (the latter dominated round-3's hmm bench).
+                from ..distributions.distribution import (
+                    ExpandedDistribution,
+                )
+
+                msg["fn"] = ExpandedDistribution(fn, target)
+            else:
+                msg["fn"] = fn.expand(target)
 
     def _pyro_param(self, msg):
         frame = self._frame()

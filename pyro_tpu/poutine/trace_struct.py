@@ -126,13 +126,43 @@ class Trace:
         ``unscaled_log_prob`` and the scaled/masked ``log_prob`` plus the
         reduced ``log_prob_sum``.
         """
+        from ..distributions.distribution import ExpandedDistribution
+
         for name, site in self.nodes.items():
             if site["type"] == "sample" and site_filter(name, site):
                 if "log_prob" in site:
                     continue
-                lp = site["fn"].log_prob(
-                    site["value"], *site["args"], **_lp_kwargs(site)
-                )
+                fn = site["fn"]
+                if (
+                    isinstance(fn, ExpandedDistribution)
+                    and site["infer"].get("_enumerate_dim") is not None
+                    and not site["is_observed"]
+                ):
+                    # Model-enumerated site under a lazy plate broadcast:
+                    # keep the factor COMPACT (size-1 plate axes, squeezed
+                    # by ``pack_tensors``) — the packed TVE engine is
+                    # ordinal-aware, so constant-over-plate factors need
+                    # not be materialized at plate shape.  Only sound for
+                    # enum factors: ``log_prob_sum`` semantics (plate
+                    # multiplicity) never apply to them directly.
+                    base = fn.base_dist
+                    while isinstance(base, ExpandedDistribution):
+                        base = base.base_dist
+                    lp = base.log_prob(
+                        site["value"], *site["args"], **_lp_kwargs(site)
+                    )
+                    rank = max(
+                        len(fn.batch_shape),
+                        jnp.ndim(site["value"]) - fn.event_dim,
+                    )
+                    if jnp.ndim(lp) < rank:
+                        lp = jnp.reshape(
+                            lp, (1,) * (rank - jnp.ndim(lp)) + jnp.shape(lp)
+                        )
+                else:
+                    lp = fn.log_prob(
+                        site["value"], *site["args"], **_lp_kwargs(site)
+                    )
                 site["unscaled_log_prob"] = lp
                 lp = scale_and_mask(lp, site["scale"], site["mask"])
                 site["log_prob"] = lp

@@ -167,9 +167,15 @@ def check_site_shape(site, max_plate_nesting: int) -> None:
             len(actual_shape) - max_plate_nesting :
         ]
 
+    # model-enumerated sites keep COMPACT log_probs (size-1 plate axes
+    # for constant-over-plate factors; the packed TVE engine is
+    # ordinal-aware), so broadcastable size-1 is valid there
+    compact_ok = site["infer"].get("_enumerate_dim") is not None
     for actual_size, expected_size in zip_longest(
         reversed(actual_shape), reversed(expected_shape), fillvalue=1
     ):
+        if compact_ok and actual_size == 1:
+            continue
         if expected_size != -1 and expected_size != actual_size:
             raise ValueError(
                 f'at site "{site["name"]}", invalid log_prob shape\n'
