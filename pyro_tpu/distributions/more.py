@@ -652,9 +652,10 @@ class Rejector(Distribution):
 
 class MixtureOfDiagNormals(Distribution):
     """Mixture of K diagonal-covariance Normals (ref
-    ``diag_normal_mixture.py``).  Identical density to the reference;
-    gradients use the score-function path (``has_rsample = False``)
-    instead of the reference's custom pathwise autograd Function."""
+    ``diag_normal_mixture.py``).  ``rsample`` implements the pathwise
+    derivative of Jankowiak & Karaletsos (arXiv:1806.01856) via a
+    ``jax.custom_vjp`` port of the reference's autograd Function
+    (``diag_normal_mixture.py:134-246``); see ``mixture_pathwise.py``."""
 
     arg_constraints = {
         "locs": constraints.real,
@@ -662,7 +663,7 @@ class MixtureOfDiagNormals(Distribution):
         "component_logits": constraints.real,
     }
     support = constraints.real_vector
-    has_rsample = False
+    has_rsample = True
 
     def __init__(self, locs, coord_scale, component_logits):
         self.locs = jnp.asarray(locs, jnp.result_type(float))
@@ -685,29 +686,95 @@ class MixtureOfDiagNormals(Distribution):
         mix_lp = jax.nn.log_softmax(self.component_logits, axis=-1)
         return logsumexp(comp_lp + mix_lp, axis=-1)
 
-    def sample(self, key, sample_shape=()):
+    def rsample(self, key, sample_shape=()):
+        from .mixture_pathwise import mix_diag_normal_sample
+
         k1, k2 = jax.random.split(key)
-        shape = tuple(sample_shape) + self.batch_shape
-        which = Categorical(logits=self.component_logits).sample(k1, sample_shape)
-        onehot = jax.nn.one_hot(which, self.locs.shape[-2], dtype=self.locs.dtype)
-        loc = jnp.einsum("...k,...kd->...d", onehot, jnp.broadcast_to(
-            self.locs, shape + self.locs.shape[-2:]
-        ))
-        scale = jnp.einsum("...k,...kd->...d", onehot, jnp.broadcast_to(
-            self.coord_scale, shape + self.coord_scale.shape[-2:]
-        ))
-        return loc + scale * jax.random.normal(k2, shape + (self.dim,))
+        which = Categorical(logits=self.component_logits).sample(
+            k1, sample_shape
+        )
+        white = jax.random.normal(
+            k2,
+            tuple(sample_shape) + self.batch_shape + (self.dim,),
+            self.locs.dtype,
+        )
+        pis = jax.nn.softmax(self.component_logits, axis=-1)
+        return mix_diag_normal_sample(
+            self.locs,
+            self.coord_scale,
+            self.component_logits,
+            pis,
+            which,
+            white,
+        )
+
+    def sample(self, key, sample_shape=()):
+        return jax.lax.stop_gradient(self.rsample(key, sample_shape))
 
 
-class MixtureOfDiagNormalsSharedCovariance(MixtureOfDiagNormals):
+class MixtureOfDiagNormalsSharedCovariance(Distribution):
     """Mixture of diagonal Normals sharing one coord_scale (ref
-    ``diag_normal_mixture_shared_covariance.py``)."""
+    ``diag_normal_mixture_shared_cov.py``) with the pathwise gradient
+    estimator (``mixture_pathwise.py``)."""
+
+    arg_constraints = {
+        "locs": constraints.real,
+        "coord_scale": constraints.positive,
+        "component_logits": constraints.real,
+    }
+    support = constraints.real_vector
+    has_rsample = True
 
     def __init__(self, locs, coord_scale, component_logits):
-        coord_scale = jnp.broadcast_to(
-            jnp.asarray(coord_scale), locs.shape[:-2] + (1, locs.shape[-1])
-        ) * jnp.ones_like(locs)
-        super().__init__(locs, coord_scale, component_logits)
+        self.locs = jnp.asarray(locs, jnp.result_type(float))
+        self.coord_scale = jnp.asarray(coord_scale, self.locs.dtype)
+        self.component_logits = jnp.asarray(
+            component_logits, self.locs.dtype
+        )
+        self.dim = self.locs.shape[-1]
+        batch_shape = self.locs.shape[:-2]
+        super().__init__(batch_shape, (self.dim,))
+
+    def log_prob(self, value):
+        coord_scale = (
+            self.coord_scale[..., None, :]
+            if self.coord_scale.ndim > 1
+            else self.coord_scale
+        )
+        eps = (value[..., None, :] - self.locs) / coord_scale
+        comp_lp = (
+            jax.nn.log_softmax(self.component_logits, axis=-1)
+            + jnp.sum(-0.5 * eps**2, -1)
+        )
+        out = logsumexp(comp_lp, axis=-1)
+        out = out - 0.5 * math.log(2 * math.pi) * self.dim
+        out = out - jnp.sum(jnp.log(self.coord_scale), -1)
+        return out
+
+    def rsample(self, key, sample_shape=()):
+        from .mixture_pathwise import mix_diag_normal_shared_cov_sample
+
+        k1, k2 = jax.random.split(key)
+        which = Categorical(logits=self.component_logits).sample(
+            k1, sample_shape
+        )
+        white = jax.random.normal(
+            k2,
+            tuple(sample_shape) + self.batch_shape + (self.dim,),
+            self.locs.dtype,
+        )
+        pis = jax.nn.softmax(self.component_logits, axis=-1)
+        return mix_diag_normal_shared_cov_sample(
+            self.locs,
+            self.coord_scale,
+            self.component_logits,
+            pis,
+            which,
+            white,
+        )
+
+    def sample(self, key, sample_shape=()):
+        return jax.lax.stop_gradient(self.rsample(key, sample_shape))
 
 
 class GaussianScaleMixture(Distribution):
@@ -720,7 +787,7 @@ class GaussianScaleMixture(Distribution):
         "component_scale": constraints.positive,
     }
     support = constraints.real_vector
-    has_rsample = False
+    has_rsample = True
 
     def __init__(self, coord_scale, component_logits, component_scale):
         self.coord_scale = jnp.asarray(coord_scale, jnp.result_type(float))
@@ -731,6 +798,10 @@ class GaussianScaleMixture(Distribution):
             component_scale, self.coord_scale.dtype
         )
         self.dim = self.coord_scale.shape[-1]
+        if self.dim < 2:
+            raise NotImplementedError(
+                "GaussianScaleMixture does not support D = 1"
+            )
         super().__init__((), (self.dim,))
 
     def log_prob(self, value):
@@ -745,32 +816,94 @@ class GaussianScaleMixture(Distribution):
         mix_lp = jax.nn.log_softmax(self.component_logits, axis=-1)
         return logsumexp(comp_lp + mix_lp, axis=-1)
 
-    def sample(self, key, sample_shape=()):
+    def rsample(self, key, sample_shape=()):
+        from .mixture_pathwise import gsm_sample
+
         k1, k2 = jax.random.split(key)
         which = Categorical(logits=self.component_logits).sample(
             k1, sample_shape
         )
-        scale = self.component_scale[which]
-        z = jax.random.normal(
-            k2, tuple(sample_shape) + (self.dim,)
+        white = jax.random.normal(
+            k2, tuple(sample_shape) + (self.dim,), self.coord_scale.dtype
         )
-        return z * self.coord_scale * scale[..., None]
+        pis = jax.nn.softmax(self.component_logits, axis=-1)
+        return gsm_sample(
+            self.coord_scale,
+            self.component_logits,
+            self.component_scale,
+            pis,
+            which,
+            white,
+        )
+
+    def sample(self, key, sample_shape=()):
+        return jax.lax.stop_gradient(self.rsample(key, sample_shape))
 
 
 class OMTMultivariateNormal(MultivariateNormal):
-    """MVN with optimal-mass-transport gradient estimator in the reference
-    (ref ``omt_mvn.py``).  Same distribution; XLA uses the standard
-    reparameterized gradient, which has identical expectation."""
+    """MVN with optimal-mass-transport pathwise gradients w.r.t. both
+    parameters (ref ``omt_mvn.py:13-40``; Jankowiak & Karaletsos,
+    arXiv:1806.01856).  Same density as :class:`MultivariateNormal`;
+    ``rsample`` routes through the O(D^3) OMT backward
+    (``mvn_gradients.py``), which generally has lower gradient variance
+    than the standard reparameterization trick."""
 
     def __init__(self, loc, scale_tril):
+        loc = jnp.asarray(loc, jnp.result_type(float))
+        scale_tril = jnp.asarray(scale_tril, loc.dtype)
+        if loc.ndim != 1:
+            raise ValueError("OMTMultivariateNormal loc must be 1-dimensional")
+        if scale_tril.ndim != 2:
+            raise ValueError(
+                "OMTMultivariateNormal scale_tril must be 2-dimensional"
+            )
         super().__init__(loc, scale_tril=scale_tril)
+
+    def rsample(self, key, sample_shape=()):
+        from .mvn_gradients import omt_mvn_sample
+
+        white = jax.random.normal(
+            key, tuple(sample_shape) + self.loc.shape, self.loc.dtype
+        )
+        return omt_mvn_sample(self.loc, self.scale_tril, white)
 
 
 class AVFMultivariateNormal(MultivariateNormal):
-    """MVN with adaptive-velocity-field gradient control variates in the
-    reference (ref ``avf_mvn.py``).  Same distribution; the control-variate
-    parameters are accepted for API parity and unused."""
+    """MVN with adaptive-velocity-field control-variate gradients
+    (ref ``avf_mvn.py:13-67``).  ``control_var`` is a (2, L, D) tensor
+    parameterizing infinitesimal-rotation control variates; it receives
+    its own adaptation gradient through ``rsample``
+    (``mvn_gradients.py``) and should be learned jointly with
+    loc/scale_tril."""
 
-    def __init__(self, loc, scale_tril, control_var=None):
+    def __init__(self, loc, scale_tril, control_var):
+        loc = jnp.asarray(loc, jnp.result_type(float))
+        scale_tril = jnp.asarray(scale_tril, loc.dtype)
+        control_var = jnp.asarray(control_var, loc.dtype)
+        if loc.ndim != 1:
+            raise ValueError("AVFMultivariateNormal loc must be 1-dimensional")
+        if scale_tril.ndim != 2:
+            raise ValueError(
+                "AVFMultivariateNormal scale_tril must be 2-dimensional"
+            )
+        if (
+            control_var.ndim != 3
+            or control_var.shape[0] != 2
+            or control_var.shape[2] != loc.shape[0]
+        ):
+            raise ValueError(
+                "control_var should be of size 2 x L x D, where D is the "
+                "dimension of the location parameter loc"
+            )
         self.control_var = control_var
         super().__init__(loc, scale_tril=scale_tril)
+
+    def rsample(self, key, sample_shape=()):
+        from .mvn_gradients import avf_mvn_sample
+
+        white = jax.random.normal(
+            key, tuple(sample_shape) + self.loc.shape, self.loc.dtype
+        )
+        return avf_mvn_sample(
+            self.loc, self.scale_tril, self.control_var, white
+        )
