@@ -13,11 +13,18 @@ Protocol (identical to the reference's):
 
 * the ``for`` loop yields ``history`` Python ints (``0..history-1``) to
   initiate the chain, then ``history+1`` index arrays
-  ``arange(i, size-history+i)`` — one pass per chain "slot".
-* sites sampled during the array passes are renamed from their array
-  suffix to a ``slice`` suffix; all but the final pass are auxiliary
-  (``_do_not_score``) — they exist so the final pass's distributions can
-  depend on a *previous-state* enumerated variable.
+  ``arange(i, size-history+i)`` — one pass per chain "slot".  Each index
+  array is a :class:`_MarkovIndex`: a NumPy integer array whose
+  ``str()``/``format()`` is the stable token ``str(slice(i, size-history+i))``
+  — independent of dtype and print options, so ``f"x_{t}"`` site names
+  never ellipsize at large T (the reference renames by slice tuple,
+  ``plate_messenger.py:230-260``; here the yielded object *formats as*
+  the slice, so no renaming is needed).
+* sites sampled during the array passes must embed the yielded index in
+  their name (``f"x_{t}"``), giving them a ``slice`` suffix directly;
+  all but the final pass are auxiliary (``_do_not_score``) — they exist
+  so the final pass's distributions can depend on a *previous-state*
+  enumerated variable.
 * after the loop, sites whose final-pass log-density depends on an
   auxiliary variable's enumeration dim are identified as Markov
   variables and a ``markov_chain`` record is added to the trace:
@@ -27,10 +34,41 @@ Protocol (identical to the reference's):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..distributions.util import broadcast_shape
 from .messenger import Messenger
 from .runtime import effectful
+
+
+class _MarkovIndex(np.ndarray):
+    """Integer index array yielded by :func:`vectorized_markov` whose
+    ``str()`` is the stable token ``str(slice(start, stop, None))``.
+
+    A NumPy subclass (rather than a jax array) so it is a valid index
+    into both jax and numpy arrays while carrying a custom ``__str__``:
+    site names built as ``f"x_{t}"`` embed the slice token directly,
+    independent of dtype or ``np.printoptions`` (no ellipsis at large T).
+    Derived arrays (``t - 1``, slices, ufunc results) drop the token and
+    print normally.
+    """
+
+    def __new__(cls, sl: slice):
+        arr = np.arange(sl.start, sl.stop).view(cls)
+        arr._token = str(sl)
+        return arr
+
+    def __array_finalize__(self, obj):
+        # views/ufunc results are plain index arrays: no token
+        self._token = None
+
+    def __str__(self):
+        token = getattr(self, "_token", None)
+        return super().__str__() if token is None else token
+
+    def __repr__(self):
+        token = getattr(self, "_token", None)
+        return super().__repr__() if token is None else token
 
 
 @effectful(type="markov_chain")
@@ -77,9 +115,8 @@ class VectorizedMarkovMessenger(Messenger):
             ):
                 for sl in time_slices:
                     self._suffix = sl
-                    self._indices = jnp.arange(sl.start, sl.stop)
-                    self._indices_str = str(self._indices)
-                    yield self._indices
+                    self._suffix_str = str(sl)
+                    yield _MarkovIndex(sl)
         chain = frozenset(
             tuple(f"{var}{suffix}" for suffix in self._suffixes)
             for var in sorted(self._markov_vars)
@@ -98,14 +135,11 @@ class VectorizedMarkovMessenger(Messenger):
         if type(msg["fn"]).__name__ == "_Subsample":
             return
         assert isinstance(self._suffix, slice)
-        if not msg["name"].endswith(self._indices_str):
+        if not msg["name"].endswith(self._suffix_str):
             raise ValueError(
                 "sites inside vectorized_markov must embed the yielded "
                 f"index in their name (e.g. f'x_{{t}}'); got {msg['name']!r}"
             )
-        msg["name"] = msg["name"][: -len(self._indices_str)] + str(
-            self._suffix
-        )
         if self._suffix != self._suffixes[-1]:
             # auxiliary pass: traced (for dim bookkeeping and so the final
             # pass can reference its enumerated value) but never scored

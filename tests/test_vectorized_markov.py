@@ -334,6 +334,56 @@ def test_trace_structure_and_chain_record():
     assert "_do_not_score" not in nodes["x_slice(1, 7, None)"]["infer"]
 
 
+def test_large_T_stable_names():
+    """T >= 1000: the yielded index's str() is the slice token, immune to
+    numpy printoptions ellipsis, and the vectorized ELBO matches an exact
+    numpy forward-algorithm oracle (unrolled comparison would be O(T) in
+    Python; the oracle is exact because the guide is empty and all
+    discrete latents are enumerated, so loss = -log p(data))."""
+    T = 1200
+    data = _real_data(T)
+    elbo = TraceEnum_ELBO(max_plate_nesting=3)
+    l_vec = float(
+        elbo.loss(model_1, _guide, data, 1, True, rng_key=jax.random.key(0))
+    )
+
+    init = np.asarray(_probs(0, 3))
+    trans = np.asarray(_probs(1, 3, 3))
+    locs = np.array([-1.0, 0.0, 1.0])
+    d = np.asarray(data)  # (T, tones)
+    # emission log-prob per (t, state): sum over tones of Normal(locs, 1)
+    emit = (
+        -0.5 * (d[:, :, None] - locs) ** 2 - 0.5 * np.log(2 * np.pi)
+    ).sum(1)
+    from scipy.special import logsumexp
+
+    alpha = np.log(init) + emit[0]
+    for t in range(1, T):
+        alpha = logsumexp(alpha[:, None] + np.log(trans), axis=0) + emit[t]
+    np.testing.assert_allclose(l_vec, -logsumexp(alpha), rtol=1e-4)
+
+    # trace-time structure is O(1) and names carry the stable slice token
+    with poutine.trace() as tr:
+        with poutine.enum(first_available_dim=-3):
+            model_1(data, 1, True)
+    names = set(tr.trace.nodes)
+    assert f"x_slice(0, {T - 1}, None)" in names
+    assert f"x_slice(1, {T}, None)" in names
+    assert not any("..." in n for n in names)
+
+
+def test_markov_index_token():
+    from pyro_tpu.poutine.vectorized_markov import _MarkovIndex
+
+    i = _MarkovIndex(slice(1, 2000))
+    with np.printoptions(threshold=5):
+        assert f"{i}" == "slice(1, 2000, None)"
+        assert str(i - 1) != str(i)  # derived arrays print normally
+        assert "..." not in str(i)
+    np.testing.assert_array_equal(np.asarray(i), np.arange(1, 2000))
+    assert int((i - 1)[0]) == 0
+
+
 def test_sequential_fallback_identical_sites():
     """vectorized_markov with size too small degenerates to int yields."""
     data = _real_data(1)
