@@ -7,6 +7,7 @@ Ref ``pyro/infer/importance.py:77`` (Importance, ``psis_diagnostic``),
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -307,9 +308,39 @@ class CSIS(Importance):
                     )
                 ).get_trace(*args, **run_kwargs)
             gt = prune_subsample_sites(gt)
+            self._check_matched_trace(gt, data)
             gt.compute_log_prob()
             total = total - gt.log_prob_sum()
         return total / len(batch)
+
+    def _check_matched_trace(self, guide_trace, latents):
+        """A guide that omits (or misnames) a model latent would be
+        silently scored on fewer sites, training toward the wrong
+        objective — raise instead (ref ``csis.py:161``
+        ``_get_matched_trace`` via ``check_model_guide_match``).  Guide
+        sample sites with no model counterpart are auxiliary
+        randomness; warn once since they make the NLL an upper bound."""
+        guide_sites = {
+            name
+            for name, node in guide_trace.nodes.items()
+            if node["type"] == "sample"
+        }
+        missing = set(latents) - guide_sites
+        if missing:
+            raise RuntimeError(
+                "CSIS guide is missing model latent sites "
+                f"{sorted(missing)}; the guide must sample every "
+                "latent the model does (matching names)."
+            )
+        extras = guide_sites - set(latents)
+        if extras and not getattr(self, "_warned_aux_sites", False):
+            self._warned_aux_sites = True
+            warnings.warn(
+                "CSIS guide has auxiliary sample sites "
+                f"{sorted(extras)} not present in the model; they are "
+                "scored as part of the guide NLL.",
+                stacklevel=2,
+            )
 
     def _init_params(self, key, args, kwargs):
         """Register guide params by tracing once without overrides."""
@@ -326,7 +357,9 @@ class CSIS(Importance):
     def set_validation_batch(self, *args, **kwargs):
         """Draw and freeze ``validation_batch_size`` prior simulations
         (ref ``csis.py:57``)."""
-        self._rng, key = jax.random.split(self._rng)
+        self._rng, key, self._validation_key = jax.random.split(
+            self._rng, 3
+        )
         self.validation_batch = self._sample_joint_data(
             key, self.validation_batch_size, args, kwargs
         )
@@ -341,7 +374,11 @@ class CSIS(Importance):
         if self.validation_batch is None:
             self.set_validation_batch(*args, **kwargs)
         store = get_param_store()
-        key = jax.random.key(0)  # fixed: all guide sites are conditioned
+        # one rng frozen alongside the batch: model latents are all
+        # conditioned, but any *auxiliary* guide sites draw from this
+        # key, so the reported loss is a fixed quadrature point rather
+        # than a key-0 resample every call
+        key = self._validation_key
         try:
             params = store.get_all_unconstrained()
             loss = self._guide_nll(

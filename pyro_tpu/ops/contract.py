@@ -383,7 +383,14 @@ def naive_ubersum(equation: str, *operands, plates: str = ""):
     output_plates = set(output) & plate_set
     for d in output:
         if d not in plate_set:
-            missing = dim_to_ordinal.get(d, set()) - output_plates
+            if d not in dim_to_ordinal:
+                # ref contract.py raises KeyError here; a clear error now
+                # beats a confusing broadcast failure during unrolling
+                raise ValueError(
+                    f"output dim {d!r} is neither a plate nor present "
+                    "in any input"
+                )
+            missing = dim_to_ordinal[d] - output_plates
             _check_plates_are_sensible({d}, missing)
 
     symbol_table: dict = {}

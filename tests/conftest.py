@@ -17,6 +17,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# float64 test axis (ref tests/conftest.py:12-14 PYRO_DTYPE switching):
+# PYRO_TPU_X64=1 runs the suite in double precision, where the
+# quadrature-heavy paths' documented accuracy claims live.  Tests can
+# read the active dtype from the `x64_enabled` flag below.
+X64 = os.environ.get("PYRO_TPU_X64") == "1"
+if X64:
+    jax.config.update("jax_enable_x64", True)
+
 # Persistent compilation cache: most of the unit tier's wall time is XLA
 # compilation, so warm-cache runs are several times faster (ref runs its
 # unit tier on many cores; this host has one).
@@ -95,6 +103,25 @@ def pytest_addoption(parser):
     )
 
 
+# the smoke tier: a curated fast slice (< 5 min single-core, measured)
+# spanning the runtime stack — effect handlers, primitives/params, all
+# four ELBO estimator families' gradients, one enumeration suite, one
+# MCMC case, model validation.  `pytest --stage smoke`.
+SMOKE_MODULES = {
+    "test_poutines",
+    "test_handlers",
+    "test_svi",
+    "test_param_store",
+    "test_elbo_gradients",
+    "test_enum",
+    "test_valid_models",
+    "test_pyro_module",
+}
+# within smoke modules, heavyweight statistical cases are excluded by
+# keyword so the tier stays under its budget
+SMOKE_EXCLUDE_KEYWORDS = ()
+
+
 def pytest_collection_modifyitems(config, items):
     stages = set(config.getoption("--stage"))
     if not stages or "all" in stages:
@@ -103,6 +130,10 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         marker = item.get_closest_marker("stage")
         item_stages = set(marker.args) if marker else {"unit"}
+        if "smoke" in stages:
+            mod = item.module.__name__.rsplit(".", 1)[-1]
+            if mod in SMOKE_MODULES and "integration" not in item_stages:
+                item_stages = item_stages | {"smoke"}
         if item_stages & stages:
             selected.append(item)
         else:
