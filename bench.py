@@ -33,8 +33,12 @@ X_DIM = 784
 HIDDEN = 400
 Z_DIM = 50
 
-# DMM shapes (examples/dmm.py)
-DMM_B, DMM_T, DMM_X, DMM_Z, DMM_H = 16, 20, 32, 16, 64
+# DMM shapes — the reference example's JSB-chorales regime
+# (ref examples/dmm.py:40-120: batch 20, T=129, 88 tones, z=100,
+# transition MLP width 200).  Our guide summarizes the future with an
+# MLP encoder instead of the reference's 600-wide RNN; both sides of
+# the comparison use the identical architecture below.
+DMM_B, DMM_T, DMM_X, DMM_Z, DMM_H = 20, 129, 88, 100, 200
 
 # discrete HMM shapes (JSB-chorales-like, examples/hmm.py model_1)
 HMM_SEQS, HMM_T, HMM_DATA, HMM_HIDDEN = 20, 32, 51, 16
@@ -43,17 +47,25 @@ HMM_SEQS, HMM_T, HMM_DATA, HMM_HIDDEN = 20, 32, 51, 16
 # vectorized_markov turns the transition factors into (T*B, 256, 256)
 # batched log-matmuls that actually exercise the systolic array
 HMMX_SEQS, HMMX_T, HMMX_DATA, HMMX_HIDDEN = 32, 128, 51, 256
+HMMX2_HIDDEN = 512  # second MXU row: hidden=512
 
-# GaussianHMM shapes
-GHMM_T, GHMM_HIDDEN, GHMM_OBS = 10_000, 32, 4
+# GaussianHMM shapes; GHMM_BATCH parallel sequences per launch on both
+# sides (torch broadcasts batched data too, so the ratio stays honest)
+GHMM_T, GHMM_HIDDEN, GHMM_OBS, GHMM_BATCH = 10_000, 32, 4, 8
 
-# heterogeneous (time-varying transition) posterior filter-sample shapes
-GFS_T, GFS_HIDDEN, GFS_OBS = 4_000, 16, 4
+# heterogeneous (time-varying transition) posterior filter-sample shapes;
+# GFS_DRAWS posterior draws per launch via sample_shape on both sides
+GFS_T, GFS_HIDDEN, GFS_OBS, GFS_DRAWS = 4_000, 16, 4, 16
 
 # assumed per-chip peak for MFU accounting (TPU v5e: 197 TFLOP/s bf16;
 # conservative denominator for f32 programs).  Override with
 # PYRO_TPU_PEAK_FLOPS for other chips.
 PEAK_FLOPS = float(os.environ.get("PYRO_TPU_PEAK_FLOPS", 197e12))
+
+# assumed per-chip HBM bandwidth for roofline accounting (TPU v5e:
+# 819 GB/s).  Memory-bound benches report pct_hbm_roofline = fraction of
+# the bandwidth bound actually sustained.
+HBM_BW = float(os.environ.get("PYRO_TPU_HBM_BW", 819e9))
 
 # NUTS settings
 NUTS_WARMUP, NUTS_SAMPLES = 500, 500
@@ -338,11 +350,14 @@ def _reference_hmm_body() -> None:
     print(n / (time.perf_counter() - t0))
 
 
-def _reference_hmm_mxu_body() -> None:
-    """Same discrete-HMM SVI at MXU-scale shapes (hidden=256, T=128):
-    the reference has no vectorized-markov path without funsor, so this
-    is its standard unrolled model_1."""
+def _reference_hmm_mxu_body(hidden=None, n=2) -> None:
+    """Same discrete-HMM SVI at MXU-scale shapes (hidden=256/512,
+    T=128): the reference has no vectorized-markov path without funsor,
+    so this is its standard unrolled model_1."""
     import torch
+
+    # shadow the module constant so the nested model picks up `hidden`
+    HMMX_HIDDEN = hidden or globals()["HMMX_HIDDEN"]
 
     import pyro
     import pyro.distributions as pdist
@@ -394,11 +409,15 @@ def _reference_hmm_mxu_body() -> None:
     elbo = TraceEnum_ELBO(max_plate_nesting=2)
     svi = SVI(model, guide, Adam({"lr": 0.05}), elbo)
     svi.step(sequences, lengths)  # warmup
-    n = 2
     t0 = time.perf_counter()
     for _ in range(n):
         svi.step(sequences, lengths)
     print(n / (time.perf_counter() - t0))
+
+
+def _reference_hmm_mxu512_body() -> None:
+    """hidden=512 row; one timed step (torch CPU takes minutes/step)."""
+    _reference_hmm_mxu_body(hidden=HMMX2_HIDDEN, n=1)
 
 
 def _reference_gfs_body() -> None:
@@ -421,12 +440,13 @@ def _reference_gfs_body() -> None:
         init, trans_mat, trans, obs_mat, obs, duration=GFS_T
     )
     data = torch.randn(GFS_T, GFS_OBS)
-    hmm.rsample_posterior(data)  # warmup
-    n = 5
+    shape = torch.Size((GFS_DRAWS,))
+    hmm.rsample_posterior(data, sample_shape=shape)  # warmup
+    n = 3
     t0 = time.perf_counter()
     for _ in range(n):
-        hmm.rsample_posterior(data)
-    print(n / (time.perf_counter() - t0))
+        hmm.rsample_posterior(data, sample_shape=shape)
+    print(n * GFS_DRAWS / (time.perf_counter() - t0))
 
 
 def _reference_nuts_body() -> None:
@@ -485,13 +505,13 @@ def _reference_ghmm_body() -> None:
     hmm = pdist.GaussianHMM(
         init, trans_mat, trans, obs_mat, obs, duration=GHMM_T
     )
-    data = torch.randn(GHMM_T, GHMM_OBS)
-    hmm.log_prob(data)  # warmup
-    n = 10
+    data = torch.randn(GHMM_BATCH, GHMM_T, GHMM_OBS)
+    hmm.log_prob(data)  # warmup (torch broadcasts the batch dim too)
+    n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         hmm.log_prob(data)
-    print(n / (time.perf_counter() - t0))
+    print(n * GHMM_BATCH / (time.perf_counter() - t0))
 
 
 # =========================================================================
@@ -570,12 +590,25 @@ def measure_ours_dmm() -> float:
     losses = svi.run_steps(n, data)
     assert float(losses[-1]) == float(losses[-1])
     reps = 3
-    t0 = time.perf_counter()
+    dt = 0.0
     for _ in range(reps):
+        t0 = time.perf_counter()
         losses = svi.run_steps(n, data)
-    dt = time.perf_counter() - t0
-    assert float(losses[-1]) == float(losses[-1])
-    return reps * n / dt
+        # host read = tunnel-safe sync, inside the clock
+        assert float(losses[-1]) == float(losses[-1])
+        dt += time.perf_counter() - t0
+    value = reps * n / dt
+    extra = _svi_step_cost(svi, value, (data,))
+    if extra:
+        # the DMM step is a T=129 sequential scan of width-200 MLPs:
+        # each iteration is a handful of tiny MXU launches, so the step
+        # is latency-bound far below both rooflines by construction
+        extra["analysis"] = (
+            f"sequential scan over T={DMM_T} of width-{DMM_H} MLPs: "
+            "latency-bound (per-iteration work is microseconds); "
+            "mfu/pct_hbm_roofline give the distance to each ceiling"
+        )
+    return value, extra
 
 
 def measure_ours_hmm() -> float:
@@ -613,10 +646,11 @@ def measure_ours_hmm() -> float:
     return reps * n / dt
 
 
-def measure_ours_hmm_vec() -> float:
-    """model_1v (vectorized_markov) at MXU-scale shapes: the transition
-    factors become (B*T, 256, 256) batched log-matmuls reduced in
-    ceil(log2 T) parallel-scan rounds."""
+def measure_ours_hmm_vec(hidden=None) -> float:
+    """model_1v (vectorized_markov) at MXU-scale shapes: the chain is
+    eliminated by a rematerialized forward scan whose step is one
+    (B, S) @ (S, S) MXU log-matmul against the loop-invariant
+    transition (ops/markov_product.py scan strategy)."""
     import argparse
     import functools
 
@@ -629,7 +663,7 @@ def measure_ours_hmm_vec() -> float:
     from pyro_tpu.optim import Adam
 
     _fresh()
-    args = argparse.Namespace(hidden_dim=HMMX_HIDDEN)
+    args = argparse.Namespace(hidden_dim=hidden or HMMX_HIDDEN)
     sequences, lengths = _host_data(
         synthetic_sequences, jax.random.key(0), HMMX_SEQS, HMMX_T, HMMX_DATA
     )
@@ -642,16 +676,45 @@ def measure_ours_hmm_vec() -> float:
     # param shapes don't depend on batch/time size: initialize on a tiny
     # slice so the one-off eager init eval costs seconds, not minutes
     svi._init(jax.random.key(0), (sequences[:2, :8], lengths[:2]), {})
-    n = 10
-    losses = svi.run_steps(n, sequences, lengths)
+    # snapshot init params/opt state: the MAP objective here is
+    # UNBOUNDED (Dirichlet concentration 0.1 < 1 blows up at the simplex
+    # boundary, same as the reference example's prior), so hundreds of
+    # consecutive steps diverge to the vertex and eventually NaN; each
+    # timed rep restarts from init so the 50-step windows measure the
+    # sane optimization regime
+    from pyro_tpu.params.param_store import get_param_store
+
+    store = get_param_store()
+    snap_params = dict(store._params)
+    snap_opt = dict(svi._opt_state)
+
+    def _restore():
+        store._params = dict(snap_params)
+        svi._opt_state = dict(snap_opt)
+
+    n = 50
+    losses = svi.run_steps(n, sequences, lengths)  # compile + warmup
     assert float(losses[-1]) == float(losses[-1])
     reps = 3
-    t0 = time.perf_counter()
+    dt = 0.0
     for _ in range(reps):
+        _restore()
+        t0 = time.perf_counter()
         losses = svi.run_steps(n, sequences, lengths)
-    dt = time.perf_counter() - t0
-    assert float(losses[-1]) == float(losses[-1])
-    return reps * n / dt
+        # host read = tunnel-safe sync, inside the clock
+        assert float(losses[-1]) == float(losses[-1])
+        dt += time.perf_counter() - t0
+    value = reps * n / dt
+
+    # exact per-step cost from the ACTUAL compiled update (fwd + bwd +
+    # optimizer): the scan-eliminated chain does ~325x fewer FLOPs than
+    # the O(log T) halving product it replaced, so MFU alone
+    # under-describes it — report the HBM roofline fraction too
+    return value, _svi_step_cost(svi, value, (sequences, lengths))
+
+
+def measure_ours_hmm_vec512() -> float:
+    return measure_ours_hmm_vec(hidden=HMMX2_HIDDEN)
 
 
 def measure_ours_gfs() -> float:
@@ -677,30 +740,29 @@ def measure_ours_gfs() -> float:
     data = jax.random.normal(k[2], (GFS_T, GFS_OBS))
 
     # big arrays go in as ARGUMENTS: under the axon tunnel, closure
-    # constants make lowering pathologically slow.  All n draws run as
-    # ONE launch (lax.map over keys, same per-draw program as the torch
-    # loop) so the tunnel's ~30 ms dispatch is paid once, not per draw.
-    n = 10
+    # constants make lowering pathologically slow.  All draws run as ONE
+    # batched launch via sample_shape (the torch side batches the same
+    # way), so the O(log T) tree levels see GFS_DRAWS-wide batches and
+    # the tunnel's ~30 ms dispatch is paid once, not per draw.
+    n = GFS_DRAWS
 
     @jax.jit
-    def draw_many(keys, data, trans_mat, obs_mat):
+    def draw_many(key, data, trans_mat, obs_mat):
         hmm = dist.GaussianHMM(
             init, trans_mat, trans, obs_mat, obs, duration=GFS_T
         )
+        return hmm.rsample_posterior(
+            data, key, sample_shape=(n,)
+        ).sum()
 
-        def one(key):
-            return hmm.rsample_posterior(data, key).sum()
-
-        return jax.lax.map(one, keys).sum()
-
-    keys = jax.random.split(jax.random.key(1), n)
-    float(draw_many(keys, data, trans_mat, obs_mat))  # compile + warmup
+    key = jax.random.key(1)
+    float(draw_many(key, data, trans_mat, obs_mat))  # compile + warmup
     reps = 3
     t0 = time.perf_counter()
     acc = 0.0
     for r in range(reps):
         # host read = tunnel-safe sync
-        acc += float(draw_many(keys, data, trans_mat, obs_mat))
+        acc += float(draw_many(key, data, trans_mat, obs_mat))
     dt = time.perf_counter() - t0
     assert acc == acc
     return reps * n / dt
@@ -725,32 +787,80 @@ def measure_ours_nuts_ess() -> float:
             eta = pyro.sample("eta", dist.Normal(0.0, 1.0))
             pyro.sample("obs", dist.Normal(mu + tau * eta, sigma), obs=y)
 
-    def run(key):
+    def run(key, chains):
+        kernel = NUTS(model)
         mcmc = MCMC(
-            NUTS(model),
+            kernel,
             num_samples=NUTS_SAMPLES,
             warmup_steps=NUTS_WARMUP,
-            num_chains=NUTS_CHAINS_OURS,
+            num_chains=chains,
         )
         mcmc.run(y, sigma, rng_key=key)
-        return mcmc
+        return mcmc, kernel
 
-    run(jax.random.key(0))  # compile warmup
-    t0 = time.perf_counter()
-    mcmc = run(jax.random.key(1))
-    # sync on the draws (the reference also times .run() only and
-    # computes ESS outside the clock)
-    jax.block_until_ready(mcmc.get_samples())
-    sample0 = next(iter(mcmc.get_samples().values()))
-    float(jnp.asarray(sample0).sum())  # host read = reliable tunnel sync
-    dt = time.perf_counter() - t0
-    diag = mcmc.diagnostics()
-    total_ess = sum(
-        float(jnp.asarray(d["n_eff"]).sum())
-        for d in diag.values()
-        if isinstance(d, dict) and "n_eff" in d
+    def timed_ess(key, chains):
+        t0 = time.perf_counter()
+        mcmc, kernel = run(key, chains)
+        # sync on the draws (the reference also times .run() only and
+        # computes ESS outside the clock)
+        jax.block_until_ready(mcmc.get_samples())
+        sample0 = next(iter(mcmc.get_samples().values()))
+        float(jnp.asarray(sample0).sum())  # host read = tunnel sync
+        dt = time.perf_counter() - t0
+        diag = mcmc.diagnostics()
+        total_ess = sum(
+            float(jnp.asarray(d["n_eff"]).sum())
+            for d in diag.values()
+            if isinstance(d, dict) and "n_eff" in d
+        )
+        return total_ess / dt, mcmc, kernel, dt
+
+    run(jax.random.key(0), NUTS_CHAINS_OURS)  # compile warmup
+    value, mcmc, kernel, dt = timed_ess(
+        jax.random.key(1), NUTS_CHAINS_OURS
     )
-    return total_ess / dt
+
+    extra = {"chains": NUTS_CHAINS_OURS}
+    # MFU: leapfrogs actually recorded (sampling phase, per chain) plus
+    # a warmup estimate at the same per-sample tree size, times XLA's
+    # FLOP count for one chain's leapfrog-dominant work (the potential
+    # gradient).  Masked-idle lanes in the vmapped tree builder are NOT
+    # counted, so this is a conservative lower bound on issued work.
+    try:
+        import numpy as np
+
+        num_steps = np.asarray(mcmc._diagnostics_extra["num_steps"])
+        total_lf = float(num_steps.sum()) * (
+            1.0 + NUTS_WARMUP / NUTS_SAMPLES
+        )
+        z0 = jnp.asarray(mcmc._last_state.z)[0]
+        flops_lf = _xla_flops(
+            jax.value_and_grad(kernel.potential_fn), z0
+        )
+        if flops_lf:
+            extra["flops_per_leapfrog"] = float(f"{flops_lf:.3g}")
+            extra["leapfrogs_per_sec"] = round(total_lf / dt, 1)
+            extra["mfu"] = round(total_lf * flops_lf / dt / PEAK_FLOPS, 7)
+            extra["analysis"] = (
+                "eight_schools has 10 latent dims; a leapfrog is "
+                f"~{flops_lf:.0f} FLOPs, so NUTS here is latency-bound "
+                "by design — ESS/s is the meaningful metric"
+            )
+    except Exception as e:
+        print(f"# nuts mfu accounting failed: {e}", file=sys.stderr)
+
+    # equal-chain-count secondary ratio: 4 vmapped chains vs the
+    # reference's rate (sequential chains make the reference's ESS/s
+    # chain-count-invariant, so its 1-chain baseline IS its 4-chain
+    # rate); computed in main() against the cached baseline
+    try:
+        _fresh()
+        value_eq, *_ = timed_ess(jax.random.key(2), 4)
+        extra["value_equal_chains_4"] = round(value_eq, 2)
+    except Exception as e:
+        print(f"# nuts equal-chains run failed: {e}", file=sys.stderr)
+
+    return value, extra
 
 
 def measure_ours_ghmm() -> float:
@@ -773,16 +883,17 @@ def measure_ours_ghmm() -> float:
     hmm = dist.GaussianHMM(
         init, trans_mat, trans, obs_mat, obs, duration=GHMM_T
     )
-    data = jax.random.normal(k[2], (GHMM_T, GHMM_OBS))
+    data = jax.random.normal(k[2], (GHMM_BATCH, GHMM_T, GHMM_OBS))
     # NOTE: under the axon tunnel block_until_ready returns early, so a
-    # host read (float()) is the only reliable sync.  Chain n calls
-    # inside one jit so dispatch overhead is excluded.
-    n = 20
+    # host read (float()) is the only reliable sync.  Chain n batched
+    # calls inside one jit so dispatch overhead is excluded; each call
+    # scores GHMM_BATCH sequences (torch broadcasts the same batch).
+    n = 10
 
     @jax.jit
     def chained(data):
         def body(acc, _):
-            return acc + hmm.log_prob(data + 1e-6 * acc), None
+            return acc + hmm.log_prob(data + 1e-6 * acc).sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
         return acc
@@ -792,13 +903,79 @@ def measure_ours_ghmm() -> float:
     t0 = time.perf_counter()
     for _ in range(reps):
         v = float(chained(data))
-    return reps * n / (time.perf_counter() - t0)
+    return reps * n * GHMM_BATCH / (time.perf_counter() - t0)
 
 
 # =========================================================================
 # MFU accounting: XLA-counted FLOPs of each benchmark's dominant compiled
 # computation, divided by measured wall time and the chip's peak
 # =========================================================================
+
+
+def _svi_step_cost(svi, steps_per_sec, args, kwargs=None):
+    """Exact per-step FLOPs / HBM bytes of an SVI instance's ACTUAL
+    compiled update (fwd + bwd + optimizer), by lowering the cached
+    run_steps scan over a single step; returns {} on failure.
+
+    Reports both mfu (fraction of MXU peak) and pct_hbm_roofline
+    (fraction of the HBM bandwidth bound) — log-space recurrences are
+    memory/latency-bound by design, so the bandwidth number is the one
+    that says how close the step is to its hardware ceiling."""
+    import jax
+
+    extra = {}
+    try:
+        from pyro_tpu.infer.svi import _partition_args
+        from pyro_tpu.params.param_store import get_param_store as _gps
+
+        params = _gps().get_all_unconstrained()
+        keys1 = jax.random.split(jax.random.key(0), 1)
+        dyn, hstatic = _partition_args(args, kwargs or {})
+        ca = (
+            svi._scan_fn.lower(
+                params, svi._opt_state, svi._loss_state, keys1, dyn, hstatic
+            )
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        fl = float(ca.get("flops", float("nan")))
+        by = float(ca.get("bytes accessed", float("nan")))
+        if fl == fl and fl > 0:
+            extra["flops_per_unit"] = float(f"{fl:.3g}")
+            extra["mfu"] = round(fl * steps_per_sec / PEAK_FLOPS, 5)
+        if by == by and by > 0:
+            # XLA's "bytes accessed" counts every operand read per op,
+            # including remat re-reads that stay VMEM-resident, so it is
+            # an UPPER bound on true HBM traffic; pct > 100 means the
+            # step beats the naive everything-through-HBM bound
+            extra["xla_bytes_accessed_per_step"] = float(f"{by:.3g}")
+            extra["pct_naive_hbm_bound"] = round(
+                by * steps_per_sec / HBM_BW * 100, 1
+            )
+    except Exception as e:
+        print(f"# svi step cost analysis failed: {e}", file=sys.stderr)
+    return extra
+
+
+def _xla_cost(fn, *args, **kwargs):
+    """(flops, bytes accessed) of jit(fn) per XLA's own cost model;
+    (None, None) if unavailable."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", float("nan")))
+        byt = float(ca.get("bytes accessed", float("nan")))
+        if flops != flops or flops <= 0:
+            return None, None
+        return flops, (byt if byt == byt and byt > 0 else None)
+    except Exception:
+        return None, None
 
 
 def _xla_flops(fn, *args, **kwargs):
@@ -901,6 +1078,14 @@ def flops_hmm_vec():
     )
 
 
+def flops_hmm_vec512():
+    from examples.hmm import model_1v
+
+    return _flops_hmm(
+        model_1v, HMMX2_HIDDEN, HMMX_SEQS, HMMX_T, HMMX_DATA, 3
+    )
+
+
 def flops_ghmm():
     """One log_prob call (the measured unit), straight from XLA."""
     import jax
@@ -922,8 +1107,15 @@ def flops_ghmm():
     hmm = dist.GaussianHMM(
         init, trans_mat, trans, obs_mat, obs, duration=GHMM_T
     )
-    data = jax.random.normal(k[2], (GHMM_T, GHMM_OBS))
-    return _xla_flops(hmm.log_prob, data)
+    data = jax.random.normal(k[2], (GHMM_BATCH, GHMM_T, GHMM_OBS))
+    fl, by = _xla_cost(lambda d: hmm.log_prob(d).sum(), data)
+    # per measured unit (one sequence): the batched program amortizes
+    # the shared transition factors across GHMM_BATCH sequences
+    return (
+        None
+        if fl is None
+        else (fl / GHMM_BATCH, None if by is None else by / GHMM_BATCH)
+    )
 
 
 def flops_gfs():
@@ -947,8 +1139,17 @@ def flops_gfs():
         init, trans_mat, trans, obs_mat, obs, duration=GFS_T
     )
     data = jax.random.normal(k[2], (GFS_T, GFS_OBS))
-    return _xla_flops(
-        lambda key: hmm.rsample_posterior(data, key), jax.random.key(0)
+    fl, by = _xla_cost(
+        lambda key: hmm.rsample_posterior(
+            data, key, sample_shape=(GFS_DRAWS,)
+        ).sum(),
+        jax.random.key(0),
+    )
+    # per measured unit (one posterior draw)
+    return (
+        None
+        if fl is None
+        else (fl / GFS_DRAWS, None if by is None else by / GFS_DRAWS)
     )
 
 
@@ -958,8 +1159,8 @@ BENCHMARKS = {
         measure_ours_vae, "_reference_pyro_body", "steps/s", flops_vae
     ),
     "dmm_elbo_steps_per_sec": (
-        measure_ours_dmm, "_reference_dmm_body", "steps/s", flops_dmm
-    ),
+        measure_ours_dmm, "_reference_dmm_body", "steps/s", None
+    ),  # measure reports exact compiled-step flops/mfu itself
     "hmm_enum_steps_per_sec": (
         measure_ours_hmm, "_reference_hmm_body", "steps/s", flops_hmm
     ),
@@ -967,7 +1168,13 @@ BENCHMARKS = {
         measure_ours_hmm_vec,
         "_reference_hmm_mxu_body",
         "steps/s",
-        flops_hmm_vec,
+        None,  # measure reports exact compiled-step flops/mfu itself
+    ),
+    "hmm_enum_mxu512_steps_per_sec": (
+        measure_ours_hmm_vec512,
+        "_reference_hmm_mxu512_body",
+        "steps/s",
+        None,  # measure reports exact compiled-step flops/mfu itself
     ),
     "nuts_ess_per_sec": (
         measure_ours_nuts_ess, "_reference_nuts_body", "ess/s", None
@@ -1015,8 +1222,36 @@ def _device_probe(timeout_s: float = 180.0) -> None:
         os._exit(2)
 
 
+def _shape_sigs():
+    """Per-benchmark shape signature: a cached reference measurement is
+    only valid while the benchmark's shapes are unchanged."""
+    return {
+        "vae_elbo_steps_per_sec": f"{BATCH}.{X_DIM}.{HIDDEN}.{Z_DIM}",
+        "dmm_elbo_steps_per_sec": (
+            f"{DMM_B}.{DMM_T}.{DMM_X}.{DMM_Z}.{DMM_H}"
+        ),
+        "hmm_enum_steps_per_sec": (
+            f"{HMM_SEQS}.{HMM_T}.{HMM_DATA}.{HMM_HIDDEN}"
+        ),
+        "hmm_enum_mxu_steps_per_sec": (
+            f"{HMMX_SEQS}.{HMMX_T}.{HMMX_DATA}.{HMMX_HIDDEN}"
+        ),
+        "hmm_enum_mxu512_steps_per_sec": (
+            f"{HMMX_SEQS}.{HMMX_T}.{HMMX_DATA}.{HMMX2_HIDDEN}"
+        ),
+        "nuts_ess_per_sec": f"{NUTS_WARMUP}.{NUTS_SAMPLES}",
+        "gaussianhmm_logprob_per_sec": (
+            f"{GHMM_BATCH}.{GHMM_T}.{GHMM_HIDDEN}.{GHMM_OBS}"
+        ),
+        "gaussianhmm_het_sample_per_sec": (
+            f"{GFS_DRAWS}.{GFS_T}.{GFS_HIDDEN}.{GFS_OBS}"
+        ),
+    }
+
+
 def main() -> None:
     _device_probe()
+    sigs = _shape_sigs()
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -1026,39 +1261,79 @@ def main() -> None:
         cache.setdefault(
             "vae_elbo_steps_per_sec", cache.pop("vae_steps_per_sec")
         )
+    # migrate bare-float entries (rounds 1-3, before shape signatures);
+    # their shapes are only trusted for rows that haven't been reshaped
+    _legacy_ok = {
+        "vae_elbo_steps_per_sec",
+        "hmm_enum_steps_per_sec",
+        "hmm_enum_mxu_steps_per_sec",
+        "nuts_ess_per_sec",
+    }
+    for name, v in list(cache.items()):
+        if not isinstance(v, dict):
+            cache[name] = {
+                "value": v,
+                "sig": sigs.get(name) if name in _legacy_ok else "legacy",
+            }
 
     submetrics = {}
     ratios = []
     for name, (ours_fn, ref_body, unit, flops_fn) in BENCHMARKS.items():
-        if name not in cache:
+        entry_cached = cache.get(name)
+        stale = (
+            entry_cached is None
+            or entry_cached.get("sig") != sigs.get(name)
+        )
+        if stale:
             try:
-                cache[name] = _run_reference(ref_body)
+                cache[name] = {
+                    "value": _run_reference(ref_body),
+                    "sig": sigs.get(name),
+                }
                 with open(BASELINE_CACHE, "w") as f:
                     json.dump(cache, f, indent=1)
             except Exception as e:  # reference unavailable: absolute only
                 print(f"# reference {name} failed: {e}", file=sys.stderr)
-                cache[name] = None
-        baseline = cache[name]
+                cache[name] = {"value": None, "sig": sigs.get(name)}
+        baseline = cache[name]["value"]
         try:
             value = ours_fn()
         except Exception as e:
             print(f"# ours {name} failed: {e}", file=sys.stderr)
             continue
+        extra = {}
+        if isinstance(value, tuple):
+            value, extra = value
         entry = {"value": round(value, 2), "unit": unit}
         if baseline:
             entry["baseline"] = round(baseline, 4)
             entry["vs_baseline"] = round(value / baseline, 2)
             ratios.append(value / baseline)
+            if "value_equal_chains_4" in extra:
+                entry["vs_baseline_equal_chains"] = round(
+                    extra["value_equal_chains_4"] / baseline, 2
+                )
+        entry.update(extra)
         if flops_fn is not None:
             try:
                 flops_per_unit = flops_fn()
             except Exception as e:
                 print(f"# flops {name} failed: {e}", file=sys.stderr)
                 flops_per_unit = None
+            bytes_per_unit = None
+            if isinstance(flops_per_unit, tuple):
+                flops_per_unit, bytes_per_unit = flops_per_unit
             if flops_per_unit:
                 entry["flops_per_unit"] = float(f"{flops_per_unit:.3g}")
                 entry["mfu"] = round(
                     flops_per_unit * value / PEAK_FLOPS, 5
+                )
+            if bytes_per_unit:
+                entry["hbm_bytes_per_unit"] = float(
+                    f"{bytes_per_unit:.3g}"
+                )
+                entry["pct_hbm_roofline"] = round(
+                    bytes_per_unit * value / HBM_BW * 100, 1
                 )
         submetrics[name] = entry
 

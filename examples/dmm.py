@@ -25,9 +25,12 @@ try:
 except ImportError:  # pragma: no cover
     nn = None
 
-Z_DIM = 16
-X_DIM = 32
-HIDDEN = 64
+# the reference example's JSB-chorales regime (ref examples/dmm.py:40-120:
+# 88 tones, z=100, transition MLP width 200; the guide's future summary is
+# an MLP encoder standing in for the reference's 600-wide RNN)
+Z_DIM = 100
+X_DIM = 88
+HIDDEN = 200
 
 
 class GatedTransition(nn.Module):

@@ -57,9 +57,19 @@ def _fwd(x, y):
 
 
 def _bwd(res, g):
-    # With P = exp(x - xs), Q = exp(y - ys), Z = P @ Q:
-    #   dx = P * ((g / Z) @ Q^T),  dy = Q * (P^T @ (g / Z))
-    # all factors are bounded by the shifts.
+    # The true adjoints are softmax-weighted sums with weights in [0, 1]
+    # (out >= x + y pointwise, since out log-sums over the inner dim):
+    #   dx[i,k] = sum_j g[i,j] * exp(x[i,k] + y[k,j] - out[i,j])
+    #   dy[k,j] = sum_i g[i,j] * exp(x[i,k] + y[k,j] - out[i,j])
+    # The naive factoring P * ((g/Z) @ Q^T) overflows when any Z = P@Q
+    # underflows (peaked alphas x near-zero transition probs after ~40
+    # MAP steps on TPU, where bf16-input matmuls flush f32 denormals):
+    # g/Z hits exp(-log tiny) ~ 8.5e37, the matmul sums to inf, and
+    # P=0 rows turn it into 0*inf = NaN.  Instead re-shift g/Z by its
+    # row max (for dx) / column max (for dy) so the MXU matmul stays
+    # bounded by |g|, and recombine the outer exp factors in
+    # log-magnitude space, where the exponent only ever reaches the
+    # (bounded) final value.
     x, y, out = res
     xs = jnp.max(x, -1, keepdims=True)
     xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
@@ -67,9 +77,20 @@ def _bwd(res, g):
     ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
     P = jnp.exp(x - xs)
     Q = jnp.exp(y - ys)
-    gZ = g * jnp.exp(-(out - xs - ys))  # g / Z, bounded
-    dx = P * jnp.einsum("...ij,...kj->...ik", gZ, Q)
-    dy = Q * jnp.einsum("...ki,...kj->...ij", P, gZ)
+    E = -(out - xs - ys)  # -log Z, in [-log S, -log tiny]
+    tiny = jnp.finfo(out.dtype).tiny
+
+    cr = jnp.max(E, -1, keepdims=True)  # per-row shift for dx
+    rx = jnp.einsum("...ij,...kj->...ik", g * jnp.exp(E - cr), Q)
+    dx = jnp.sign(rx) * jnp.exp(
+        (x - xs + cr) + jnp.log(jnp.abs(rx) + tiny)
+    )
+
+    cc = jnp.max(E, -2, keepdims=True)  # per-column shift for dy
+    ry = jnp.einsum("...ki,...kj->...ij", P, g * jnp.exp(E - cc))
+    dy = jnp.sign(ry) * jnp.exp(
+        (y - ys + cc) + jnp.log(jnp.abs(ry) + tiny)
+    )
     # reduce broadcasted batch dims back to the operand shapes
     def unbroadcast(d, shape):
         extra = d.ndim - len(shape)

@@ -70,6 +70,55 @@ def test_custom_vjp_matches_autodiff():
         assert np.allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-4, atol=1e-5)
 
 
+def test_vjp_bounded_when_product_underflows():
+    """Regression for the TPU hmm-enum NaN: when a whole row of the
+    shifted product Z = P @ Q underflows (peaked alpha x near-zero
+    transition probs, e.g. after ~40 MAP steps), the old backward's
+    g/Z factor overflowed and 0 * inf produced NaN gradients.  The
+    re-shifted backward must stay finite AND match the softmax-weighted
+    ground truth dx = sum_j g * exp(x + y - out)."""
+    k = jax.random.key(7)
+    # alpha-style row with one dominant state; transitions out of that
+    # state are ~exp(-200): every Z entry underflows f32
+    x = jnp.full((4, 8), -300.0).at[:, 0].set(0.0)
+    y = jnp.full((8, 8), -200.0).at[1:, :].set(-1.0)
+    g = jax.random.normal(k, (4, 8)) * 5.0
+
+    def f(x, y):
+        return jnp.sum(logmatmulexp(x, y) * g)
+
+    dx, dy = jax.grad(f, argnums=(0, 1))(x, y)
+    assert np.isfinite(np.asarray(dx)).all()
+    assert np.isfinite(np.asarray(dy)).all()
+    # ground truth from the (bounded) unfused 3-tensor formulation,
+    # with out recomputed exactly as the forward produced it
+    out = _logmatmulexp_raw(x, y)
+    w = np.exp(
+        np.asarray(x)[:, :, None]
+        + np.asarray(y)[None, :, :]
+        - np.asarray(out)[:, None, :]
+    )
+    dx_gt = (np.asarray(g)[:, None, :] * w).sum(-1)
+    dy_gt = (np.asarray(g)[:, None, :] * w).sum(0)
+    assert np.allclose(np.asarray(dx), dx_gt, rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(dy), dy_gt, rtol=1e-4, atol=1e-6)
+
+
+def test_vjp_no_nan_with_neg_inf_operands():
+    """-inf operand entries (hard-masked transitions) + underflowing
+    products together must still give finite (zero) gradients."""
+    x = jnp.full((4, 8), -300.0).at[:, 0].set(0.0).at[0, :].set(-jnp.inf)
+    y = jnp.full((8, 8), -200.0).at[:, 3].set(-jnp.inf)
+    g = jnp.ones((4, 8))
+
+    def f(x, y):
+        return jnp.sum(logmatmulexp(x, y) * g)
+
+    dx, dy = jax.grad(f, argnums=(0, 1))(x, y)
+    assert np.isfinite(np.asarray(dx)).all()
+    assert np.isfinite(np.asarray(dy)).all()
+
+
 def test_custom_vjp_broadcast_batch():
     """VJP reduces broadcasted batch dims back to operand shapes."""
     k = jax.random.key(9)
