@@ -164,6 +164,14 @@ class MHResampler:
         self._key = jax.random.key(17)
 
     def __call__(self, *args, **kwargs) -> WeighedPredictiveResults:
+        # the sampler MUST propose fresh draws each round: with the
+        # fixed default key every call would redraw the same batch and
+        # the resampler would silently never move (the reference's
+        # stateful torch RNG advances implicitly; here we advance our
+        # own key when the caller doesn't supply one)
+        if kwargs.get("rng_key") is None:
+            self._key, sub = jax.random.split(self._key)
+            kwargs["rng_key"] = sub
         new = self.sampler.get_samples(*args, **kwargs)
         if self._current is None:
             self._current = new
