@@ -427,7 +427,12 @@ def _try_scan_elimination(
     # alpha carries and recomputes each step's joint inside the fused
     # backward body (ref funsor's lazy sequential_sum_product never
     # stores the joint either)
-    alpha, _ = jax.lax.scan(jax.checkpoint(step), alpha0, scan_xs)
+    # unroll=8: each iteration is microseconds of work, so loop overhead
+    # is visible (measured 372 -> 405 steps/s at T=128, B=32, S=256 on
+    # v5e going from unroll 1 -> 8); XLA fuses across unrolled bodies
+    alpha, _ = jax.lax.scan(
+        jax.checkpoint(step), alpha0, scan_xs, unroll=8
+    )
 
     # remove the absorbed factors
     absorbed_ids = {id(x) for _, x in absorbed}
