@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distributions.util import broadcast_shape
+from . import linalg_small
 
 
 def _bcast(L, b):
@@ -35,16 +36,16 @@ def _bcast(L, b):
 
 
 def _tri_solve(L, b):
+    # unrolled substitution: 8x faster than XLA's blocked
+    # triangular_solve at the small batched dims the filter algebra
+    # produces (see ops/linalg_small.py header for measurements)
     L, b = _bcast(L, b)
-    return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return linalg_small.solve_lower(L, b)
 
 
 def _cholesky_solve(L, b):
     L, b = _bcast(L, b)
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), y, lower=False
-    )
+    return linalg_small.cholesky_solve(L, b)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -214,7 +215,7 @@ class Gaussian:
         P_bb = g.precision[..., n_a:, n_a:]
         i_a = g.info_vec[..., :n_a]
         i_b = g.info_vec[..., n_a:]
-        L_bb = jnp.linalg.cholesky(P_bb)
+        L_bb = linalg_small.cholesky(P_bb)
         # P_ab P_bb^{-1} = (L^{-1} P_ba)' (L^{-1} ·)
         LinvPba = _tri_solve(L_bb, jnp.swapaxes(P_ab, -1, -2))
         Linvib = _tri_solve(L_bb, i_b[..., None])[..., 0]
@@ -238,7 +239,7 @@ class Gaussian:
         """Integrate out ALL dims: the log normalization constant
         (ref ``:272``)."""
         n = self.dim
-        L = jnp.linalg.cholesky(self.precision)
+        L = linalg_small.cholesky(self.precision)
         Linvi = _tri_solve(L, self.info_vec[..., None])[..., 0]
         return (
             self.log_normalizer
@@ -255,7 +256,7 @@ class Gaussian:
         pass zeros to get the mean, scaled noise for tempering, or
         ``cat([z, -z])`` for antithetic pairs (ref ``:600`` docstring)."""
         P = self.precision
-        L = jnp.linalg.cholesky(P)
+        L = linalg_small.cholesky(P)
         loc = _cholesky_solve(L, self.info_vec[..., None])[..., 0]
         shape = tuple(sample_shape) + self.batch_shape + (self.dim,)
         if noise is None:
@@ -263,19 +264,15 @@ class Gaussian:
         else:
             eps = jnp.broadcast_to(noise, shape)
         # x = loc + L^{-T} eps  so that cov = P^{-1}
-        Lt = jnp.broadcast_to(
-            jnp.swapaxes(L, -1, -2), shape + (self.dim,)
-        )
-        white = jax.scipy.linalg.solve_triangular(
-            Lt, eps[..., None], lower=False
-        )[..., 0]
+        Lb = jnp.broadcast_to(L, shape + (self.dim,))
+        white = linalg_small.solve_lower_t(Lb, eps[..., None])[..., 0]
         return loc + white
 
     def to_mvn(self):
         from ..distributions.multivariate import MultivariateNormal
 
         P = self.precision
-        L = jnp.linalg.cholesky(P)
+        L = linalg_small.cholesky(P)
         loc = _cholesky_solve(L, self.info_vec[..., None])[..., 0]
         return MultivariateNormal(loc, precision_matrix=P)
 
@@ -456,7 +453,7 @@ def sequential_gaussian_tensordot_homogeneous(
             B = P[:n, n:]
             D = P[n:, n:]
             J_bb = D + A
-            L = jnp.linalg.cholesky(J_bb)
+            L = linalg_small.cholesky(J_bb)
             # coupling (a, c) <- b:  C = [[B], [B^T]]  (2n, n)
             C = jnp.concatenate([B, B.T], axis=0)
             Kt = _tri_solve(L, C.T)  # (n, 2n) = L^{-1} C^T
@@ -572,7 +569,7 @@ def sequential_gaussian_filter_sample_homogeneous(
             B = P[:n, n:]
             D = P[n:, n:]
             J_bb = D + A
-            L = jnp.linalg.cholesky(J_bb)
+            L = linalg_small.cholesky(J_bb)
             C = jnp.concatenate([B, B.T], axis=0)
             Kt = _tri_solve(L, C.T)
             i1 = info[..., 0::2, :]
@@ -639,10 +636,8 @@ def sequential_gaussian_filter_sample_homogeneous(
             # solve J_bb m = info_cond;  noise = L^{-T} eps
             m = _cholesky_solve(L, info_cond[..., None])[..., 0]
             eps = _std_normal_like(lvl_keys[li], m)
-            Lb, epsb = _bcast(jnp.swapaxes(L, -1, -2), eps[..., None])
-            noise = jax.scipy.linalg.solve_triangular(
-                Lb, epsb, lower=False
-            )[..., 0]
+            Lb, epsb = _bcast(L, eps[..., None])
+            noise = linalg_small.solve_lower_t(Lb, epsb)[..., 0]
             z_mid = m + noise
             # interleave points and midpoints
             stacked = jnp.concatenate(
