@@ -48,6 +48,34 @@ def _get_common_scale(scales):
     return scales_set.pop()
 
 
+def _check_model_guide_enumeration_constraint(enum_ordinals, guide_trace):
+    """Model-side enumeration must be no more global than guide-side
+    enumeration: a model-enumerated variable outside a plate cannot be
+    summed out exactly when a guide-enumerated variable inside that
+    plate feeds the same cost terms (the sum over the model variable
+    does not factorize across the plate).  Ref ``traceenum_elbo.py:50``.
+    """
+    min_ordinal = frozenset.intersection(*enum_ordinals)
+    for name, site in guide_trace.nodes.items():
+        if (
+            site["type"] == "sample"
+            and site["infer"].get("_enumerate_dim") is not None
+        ):
+            for f in site["cond_indep_stack"]:
+                if (
+                    f.dim is not None
+                    and guide_trace.plate_to_symbol[f.name] not in min_ordinal
+                ):
+                    raise ValueError(
+                        "Expected model enumeration to be no more global "
+                        "than guide enumeration, but found model "
+                        "enumeration sites upstream of guide site "
+                        f"'{name}' in plate('{f.name}'). Try converting "
+                        "some model enumeration sites to guide "
+                        "enumeration sites."
+                    )
+
+
 def _compute_model_factors(model_trace, guide_trace):
     """Ref ``traceenum_elbo.py:112``."""
     ordering = {
@@ -84,6 +112,10 @@ def _compute_model_factors(model_trace, guide_trace):
             for t, sites_t in cost_sites.items()
         )
         return marginal_costs, log_factors, ordering, enum_dims, scale
+
+    _check_model_guide_enumeration_constraint(
+        set(enum_sites.keys()), guide_trace
+    )
 
     # marginalize out variables enumerated in the model
     marginal_costs = OrderedDict()
