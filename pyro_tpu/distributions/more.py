@@ -16,12 +16,11 @@ ref ``torch.py``), ``LKJ``/``LKJCorrCholesky`` (ref ``lkj.py``),
 ``OMTMultivariateNormal``/``AVFMultivariateNormal`` (ref ``omt_mvn.py``/
 ``avf_mvn.py``).
 
-TPU notes: where the reference attaches custom torch ``autograd.Function``
-gradient estimators (OMT/AVF transport gradients, pathwise mixture
-derivatives), the distributions here are numerically identical but use
-XLA's standard reparameterized/score-function paths; mixtures advertise
-``has_rsample = False`` so ELBOs pick the unbiased score-function
-estimator automatically.
+TPU notes: the reference's custom torch ``autograd.Function`` gradient
+estimators are implemented as ``jax.custom_vjp`` rules here — pathwise
+mixture gradients in ``mixture_pathwise.py`` (so the mixtures advertise
+``has_rsample = True``) and the OMT/AVF transport gradients in
+``mvn_gradients.py``.
 """
 
 from __future__ import annotations

@@ -116,6 +116,7 @@ SMOKE_MODULES = {
     "test_enum",
     "test_valid_models",
     "test_pyro_module",
+    "test_doc_claims",
 }
 # within smoke modules, heavyweight statistical cases are excluded by
 # keyword so the tier stays under its budget
