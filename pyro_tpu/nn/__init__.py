@@ -9,8 +9,11 @@ from .pyro_module import (
 )
 from .dense_nn import MaskedLinear, ConditionalDenseNN, DenseNN
 from .module import clear_module_registry, flax_module, random_flax_module
+from .recurrent import RNN, GRUCell
 
 __all__ = [
+    "RNN",
+    "GRUCell",
     "MaskedLinear",
     "PyroModule",
     "PyroModuleList",
