@@ -845,7 +845,14 @@ class OMTMultivariateNormal(MultivariateNormal):
     arXiv:1806.01856).  Same density as :class:`MultivariateNormal`;
     ``rsample`` routes through the O(D^3) OMT backward
     (``mvn_gradients.py``), which generally has lower gradient variance
-    than the standard reparameterization trick."""
+    than the standard reparameterization trick.
+
+    Like the reference (``omt_mvn.py:30-34``), ``loc`` must be 1-D and
+    ``scale_tril`` 2-D — the estimator is defined for a single
+    (unbatched) Cholesky factor.  For a batch of factors, ``jax.vmap``
+    the underlying ``mvn_gradients.omt_mvn_sample`` directly; the
+    custom VJP composes with vmap (tested in
+    ``tests/test_omt_mvn.py``)."""
 
     def __init__(self, loc, scale_tril):
         loc = jnp.asarray(loc, jnp.result_type(float))
@@ -873,7 +880,11 @@ class AVFMultivariateNormal(MultivariateNormal):
     parameterizing infinitesimal-rotation control variates; it receives
     its own adaptation gradient through ``rsample``
     (``mvn_gradients.py``) and should be learned jointly with
-    loc/scale_tril."""
+    loc/scale_tril.
+
+    Like the reference (``avf_mvn.py:48-56``), ``loc`` must be 1-D and
+    ``scale_tril`` 2-D (single factor); for batched factors ``jax.vmap``
+    ``mvn_gradients.avf_mvn_sample`` directly."""
 
     def __init__(self, loc, scale_tril, control_var):
         loc = jnp.asarray(loc, jnp.result_type(float))
