@@ -33,12 +33,13 @@ X_DIM = 784
 HIDDEN = 400
 Z_DIM = 50
 
-# DMM shapes — the reference example's JSB-chorales regime
-# (ref examples/dmm.py:40-120: batch 20, T=129, 88 tones, z=100,
-# transition MLP width 200).  Our guide summarizes the future with an
-# MLP encoder instead of the reference's 600-wide RNN; both sides of
-# the comparison use the identical architecture below.
+# DMM shapes — the reference example's JSB-chorales regime at the
+# REFERENCE architecture (ref examples/dmm.py:153-160: batch 20, T=129,
+# 88 tones, z=100, emission_dim=100, transition_dim=200, and the guide's
+# 600-wide backward RNN over future observations).  Both sides of the
+# comparison use this identical architecture.
 DMM_B, DMM_T, DMM_X, DMM_Z, DMM_H = 20, 129, 88, 100, 200
+DMM_E, DMM_RNN = 100, 600
 
 # discrete HMM shapes (JSB-chorales-like, examples/hmm.py model_1)
 HMM_SEQS, HMM_T, HMM_DATA, HMM_HIDDEN = 20, 32, 51, 16
@@ -173,7 +174,10 @@ def _reference_pyro_body() -> None:
 
 
 def _reference_dmm_body() -> None:
-    """Deep Markov model matching examples/dmm.py shapes on torch pyro."""
+    """Deep Markov model at REFERENCE architecture on torch pyro
+    (ref examples/dmm.py:43-230: 3-layer emitter at emission_dim=100,
+    gated transition at 200, 600-wide backward nn.RNN guide,
+    trainable z_0/z_q_0/h_0)."""
     import torch
     import torch.nn as tnn
 
@@ -193,6 +197,8 @@ def _reference_dmm_body() -> None:
             self.p1 = tnn.Linear(DMM_Z, DMM_H)
             self.p2 = tnn.Linear(DMM_H, DMM_Z)
             self.lin = tnn.Linear(DMM_Z, DMM_Z)
+            self.lin.weight.data = torch.eye(DMM_Z)
+            self.lin.bias.data = torch.zeros(DMM_Z)
             self.sig = tnn.Linear(DMM_Z, DMM_Z)
 
         def forward(self, z):
@@ -205,50 +211,53 @@ def _reference_dmm_body() -> None:
     class Emitter(tnn.Module):
         def __init__(self):
             super().__init__()
-            self.l1 = tnn.Linear(DMM_Z, DMM_H)
-            self.l2 = tnn.Linear(DMM_H, DMM_X)
+            self.l1 = tnn.Linear(DMM_Z, DMM_E)
+            self.l2 = tnn.Linear(DMM_E, DMM_E)
+            self.l3 = tnn.Linear(DMM_E, DMM_X)
 
         def forward(self, z):
-            return self.l2(torch.relu(self.l1(z)))
+            return self.l3(torch.relu(self.l2(torch.relu(self.l1(z)))))
 
     class Combiner(tnn.Module):
         def __init__(self):
             super().__init__()
-            self.lz = tnn.Linear(DMM_Z, DMM_H)
-            self.loc = tnn.Linear(DMM_H, DMM_Z)
-            self.sig = tnn.Linear(DMM_H, DMM_Z)
+            self.lz = tnn.Linear(DMM_Z, DMM_RNN)
+            self.loc = tnn.Linear(DMM_RNN, DMM_Z)
+            self.sig = tnn.Linear(DMM_RNN, DMM_Z)
 
-        def forward(self, z_prev, x_summary):
-            h = 0.5 * (torch.tanh(self.lz(z_prev)) + x_summary)
+        def forward(self, z_prev, h_rnn):
+            h = 0.5 * (torch.tanh(self.lz(z_prev)) + h_rnn)
             return self.loc(h), tnn.functional.softplus(self.sig(h)) + 1e-3
 
-    class Encoder(tnn.Module):
+    class DMMNets(tnn.Module):
         def __init__(self):
             super().__init__()
-            self.l = tnn.Linear(DMM_X, DMM_H)
+            self.trans = GatedTransition()
+            self.emitter = Emitter()
+            self.combiner = Combiner()
+            self.rnn = tnn.RNN(
+                input_size=DMM_X,
+                hidden_size=DMM_RNN,
+                nonlinearity="relu",
+                batch_first=True,
+            )
+            self.z_0 = tnn.Parameter(torch.zeros(DMM_Z))
+            self.z_q_0 = tnn.Parameter(torch.zeros(DMM_Z))
+            self.h_0 = tnn.Parameter(torch.zeros(1, 1, DMM_RNN))
 
-        def forward(self, x):
-            return torch.tanh(self.l(x))
-
-    trans, emitter, combiner, encoder = (
-        GatedTransition(),
-        Emitter(),
-        Combiner(),
-        Encoder(),
-    )
+    nets = DMMNets()
 
     def model(sequences):
-        pyro.module("transition", trans)
-        pyro.module("emitter", emitter)
+        pyro.module("dmm", nets)
         B, T, _ = sequences.shape
-        z_prev = torch.zeros(B, DMM_Z)
+        z_prev = nets.z_0.expand(B, DMM_Z)
         with pyro.plate("sequences", B):
             for t in pyro.markov(range(T)):
-                loc, scale = trans(z_prev)
+                loc, scale = nets.trans(z_prev)
                 z = pyro.sample(
                     f"z_{t}", pdist.Normal(loc, scale).to_event(1)
                 )
-                logits = emitter(z)
+                logits = nets.emitter(z)
                 pyro.sample(
                     f"x_{t}",
                     pdist.Bernoulli(logits=logits).to_event(1),
@@ -257,17 +266,17 @@ def _reference_dmm_body() -> None:
                 z_prev = z
 
     def guide(sequences):
-        pyro.module("combiner", combiner)
-        pyro.module("encoder", encoder)
+        pyro.module("dmm", nets)
         B, T, _ = sequences.shape
-        h = encoder(sequences)
-        future = torch.flip(
-            torch.cumsum(torch.flip(h, [1]), dim=1), [1]
-        ) / torch.arange(T, 0, -1).reshape(1, T, 1)
-        z_prev = torch.zeros(B, DMM_Z)
+        # 600-wide backward RNN over future observations (ref :176-181
+        # runs the RNN on the reversed minibatch)
+        h0 = nets.h_0.expand(1, B, DMM_RNN).contiguous()
+        h_rev, _ = nets.rnn(torch.flip(sequences, [1]), h0)
+        h = torch.flip(h_rev, [1])
+        z_prev = nets.z_q_0.expand(B, DMM_Z)
         with pyro.plate("sequences", B):
             for t in pyro.markov(range(T)):
-                loc, scale = combiner(z_prev, future[:, t])
+                loc, scale = nets.combiner(z_prev, h[:, t])
                 z = pyro.sample(
                     f"z_{t}", pdist.Normal(loc, scale).to_event(1)
                 )
@@ -601,10 +610,9 @@ def measure_ours_dmm() -> float:
     extra = _svi_step_cost(svi, value, (data,))
     if extra:
         extra["analysis"] = (
-            f"sequential scan over T={DMM_T} of width-{DMM_H} MLPs: "
-            "the step is bound by per-iteration memory traffic, not "
-            "FLOPs — pct_naive_hbm_bound is the distance to that "
-            "ceiling (measured 88% on v5e)"
+            f"reference architecture: {DMM_RNN}-wide backward RNN guide "
+            f"+ per-step width-{DMM_H} transition MLPs over T={DMM_T}; "
+            "the step is bound by per-iteration memory traffic, not FLOPs"
         )
     return value, extra
 
@@ -1231,7 +1239,7 @@ def _shape_sigs():
     return {
         "vae_elbo_steps_per_sec": f"{BATCH}.{X_DIM}.{HIDDEN}.{Z_DIM}",
         "dmm_elbo_steps_per_sec": (
-            f"{DMM_B}.{DMM_T}.{DMM_X}.{DMM_Z}.{DMM_H}"
+            f"{DMM_B}.{DMM_T}.{DMM_X}.{DMM_Z}.{DMM_H}.{DMM_E}.rnn{DMM_RNN}"
         ),
         "hmm_enum_steps_per_sec": (
             f"{HMM_SEQS}.{HMM_T}.{HMM_DATA}.{HMM_HIDDEN}"
