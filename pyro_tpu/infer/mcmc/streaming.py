@@ -36,7 +36,12 @@ class StreamingMCMC:
     def run(self, *args, rng_key=None, **kwargs):
         if rng_key is None:
             rng_key = jax.random.key(0)
-        key_setup, key_chains = jax.random.split(rng_key)
+        # split exactly as MCMC.run does (api.py:91) so the same rng_key
+        # yields the same chain keys — StreamingMCMC's statistics then
+        # equal dense MCMC's over the SAME draws (tested in
+        # tests/test_mcmc_api.py), the reference's api-consistency
+        # contract (ref tests/infer/mcmc/test_mcmc_api.py:289-326)
+        key_setup, _key_init, key_chains = jax.random.split(rng_key, 3)
         self.kernel.setup(
             self.warmup_steps, *args, rng_key=key_setup, **kwargs
         )
