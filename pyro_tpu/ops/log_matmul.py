@@ -80,17 +80,6 @@ def _bwd(res, g):
     E = -(out - xs - ys)  # -log Z, in [-log S, -log tiny]
     tiny = jnp.finfo(out.dtype).tiny
 
-    cr = jnp.max(E, -1, keepdims=True)  # per-row shift for dx
-    rx = jnp.einsum("...ij,...kj->...ik", g * jnp.exp(E - cr), Q)
-    dx = jnp.sign(rx) * jnp.exp(
-        (x - xs + cr) + jnp.log(jnp.abs(rx) + tiny)
-    )
-
-    cc = jnp.max(E, -2, keepdims=True)  # per-column shift for dy
-    ry = jnp.einsum("...ki,...kj->...ij", P, g * jnp.exp(E - cc))
-    dy = jnp.sign(ry) * jnp.exp(
-        (y - ys + cc) + jnp.log(jnp.abs(ry) + tiny)
-    )
     # reduce broadcasted batch dims back to the operand shapes
     def unbroadcast(d, shape):
         extra = d.ndim - len(shape)
@@ -101,6 +90,41 @@ def _bwd(res, g):
         )
         return d.sum(axis=axes, keepdims=True) if axes else d
 
+    cr = jnp.max(E, -1, keepdims=True)  # per-row shift for dx
+    rx = jnp.einsum("...ij,...kj->...ik", g * jnp.exp(E - cr), Q)
+    dx = jnp.sign(rx) * jnp.exp(
+        (x - xs + cr) + jnp.log(jnp.abs(rx) + tiny)
+    )
+
+    y_lead = y.shape[:-2]
+    x_lead_n = 1
+    for d in x.shape[:-2]:
+        x_lead_n *= d
+    if all(d == 1 for d in y_lead) and x_lead_n * x.shape[-2] > 1:
+        # y is shared across x's batch: the generic path below builds
+        # per-batch (i, j) outer products on the VPU and sums them in
+        # `unbroadcast` — fold ALL leading dims (batch + rows) into the
+        # contraction instead, so dy is ONE (i, N) @ (N, j) MXU matmul.
+        # A single global per-column shift is correct here because the
+        # batch items are summed anyway: entries that underflow under
+        # the global max are exactly the negligible contributions.
+        cc = jnp.max(E, axis=tuple(range(E.ndim - 1)), keepdims=True)
+        cc = jnp.where(jnp.isfinite(cc), cc, 0.0)
+        Gf = (g * jnp.exp(E - cc)).reshape(-1, g.shape[-1])
+        Pf = jnp.broadcast_to(P, g.shape[:-1] + P.shape[-1:]).reshape(
+            -1, P.shape[-1]
+        )
+        ry = Pf.T @ Gf
+        dy = jnp.sign(ry) * jnp.exp(
+            (y.reshape(y.shape[-2:]) - ys.reshape(ys.shape[-2:]) + cc.reshape(1, -1))
+            + jnp.log(jnp.abs(ry) + tiny)
+        ).reshape(y.shape)
+        return unbroadcast(dx, x.shape), dy
+    cc = jnp.max(E, -2, keepdims=True)  # per-column shift for dy
+    ry = jnp.einsum("...ki,...kj->...ij", P, g * jnp.exp(E - cc))
+    dy = jnp.sign(ry) * jnp.exp(
+        (y - ys + cc) + jnp.log(jnp.abs(ry) + tiny)
+    )
     return unbroadcast(dx, x.shape), unbroadcast(dy, y.shape)
 
 

@@ -43,6 +43,16 @@ import jax.numpy as jnp
 from . import packed
 from .log_matmul import logmatmulexp, sequential_logmatmulexp_timemajor
 
+# Opt-in storage dtype for the (T, plates, S)-shaped time-varying scan
+# inputs (emission factors) — the dominant HBM traffic of the scan
+# elimination.  ``jnp.bfloat16`` halves the bytes the fwd AND bwd scans
+# stream from HBM; all arithmetic (the alpha carry, logmatmulexp, the
+# loop-invariant transition) stays f32, so only factor STORAGE loses
+# precision (~3 decimal digits in the log factor, i.e. ~1e-2 relative
+# in the per-step potential).  Default None = keep the trace dtype.
+# Set via ``pyro_tpu.settings.set(enum_factor_dtype=jnp.bfloat16)``.
+FACTOR_DTYPE = None
+
 
 def _packed_sum(terms):
     """Sum log factors, aligning to the union of their dims."""
@@ -378,17 +388,31 @@ def _try_scan_elimination(
         A = _sum_terms(c_lr)  # (plates-or-1..., l, r), loop-invariant
         Lc = _sum_terms(c_l) if c_l else None
         Rc = _sum_terms(c_r) if c_r else None
+        # When the transition is SHARED across plates (leading dims all
+        # 1 — the homogeneous-HMM common case), flatten the plate batch
+        # into matmul ROWS: one (B, l) @ (l, r) MXU matmul per step.
+        # The batched form (B, 1, l) @ (l, r) has M=1 per batch item,
+        # which XLA lowers to a VPU broadcast-multiply-reduce (the
+        # compiled flagship step had ZERO dot ops before this).
+        A_shared = all(d == 1 for d in A.shape[:-2])
+        A2 = A.reshape(A.shape[-2:]) if A_shared else None
 
         def step(alpha, xs_t):
             els, ers = xs_t
             h = alpha
             for v in els:
-                h = h + v
+                h = h + v.astype(alpha.dtype)
             if Lc is not None:
                 h = h + Lc
-            z = logmatmulexp(h[..., None, :], A)[..., 0, :]
+            if A_shared:
+                hf = h.reshape((-1, h.shape[-1]))
+                z = logmatmulexp(hf, A2).reshape(
+                    h.shape[:-1] + (A2.shape[-1],)
+                )
+            else:
+                z = logmatmulexp(h[..., None, :], A)[..., 0, :]
             for v in ers:
-                z = z + v
+                z = z + v.astype(z.dtype)
             if Rc is not None:
                 z = z + Rc
             return z, None
@@ -407,11 +431,11 @@ def _try_scan_elimination(
             els, ers, elrs = xs_t
             M = 0.0
             for v in elrs:
-                M = M + v
+                M = M + v.astype(alpha.dtype)
             for v in els:
-                M = M + v[..., :, None]
+                M = M + v.astype(alpha.dtype)[..., :, None]
             for v in ers:
-                M = M + v[..., None, :]
+                M = M + v.astype(alpha.dtype)[..., None, :]
             for v in consts:
                 M = M + v
             # alpha: (plates..., l); M: (plates-or-1..., l, r)
@@ -430,6 +454,12 @@ def _try_scan_elimination(
     # unroll=8: each iteration is microseconds of work, so loop overhead
     # is visible (measured 372 -> 405 steps/s at T=128, B=32, S=256 on
     # v5e going from unroll 1 -> 8); XLA fuses across unrolled bodies
+    if FACTOR_DTYPE is not None:
+        # cast the (T, ...)-stacked scan inputs ONCE, outside the loop:
+        # the fwd scan and the remat bwd scan then stream half the bytes
+        scan_xs = jax.tree_util.tree_map(
+            lambda v: v.astype(FACTOR_DTYPE), scan_xs
+        )
     alpha, _ = jax.lax.scan(
         jax.checkpoint(step), alpha0, scan_xs, unroll=8
     )

@@ -84,3 +84,12 @@ register(
     "pyro_tpu.distributions.discrete",
     "Binomial.approx_sample_thresh",
 )
+register(
+    # storage dtype for the time-varying enum factors streamed by the
+    # vectorized-markov scan elimination (None = trace dtype; set to
+    # jnp.bfloat16 to halve the scan's HBM traffic — arithmetic stays
+    # f32).  TPU-specific; no reference analog.
+    "enum_factor_dtype",
+    "pyro_tpu.ops.markov_product",
+    "FACTOR_DTYPE",
+)

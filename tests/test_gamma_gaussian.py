@@ -273,3 +273,21 @@ def test_homogeneous_gamma_chain_matches_general():
             lp_fast,
             lp_ref,
         )
+
+
+def test_compound_precision_scales_with_dtype():
+    """Under PYRO_TPU_X64=1 the Student-T compounding identity must hold
+    to ~1e-10; in f32 only ~1e-4 is reachable."""
+    import os
+
+    x64 = os.environ.get("PYRO_TPU_X64") == "1"
+    atol = 1e-10 if x64 else 1e-4
+    df = 7.0
+    mvn = random_mvn(jax.random.key(21), (), 3)
+    gg = gamma_and_mvn_to_gamma_gaussian(dist.Gamma(df / 2, df / 2), mvn)
+    stu = gg.compound()
+    expected = dist.MultivariateStudentT(df, mvn.loc, mvn.scale_tril)
+    x = jax.random.normal(jax.random.key(22), (4, 3))
+    np.testing.assert_allclose(
+        np.asarray(stu.log_prob(x)), np.asarray(expected.log_prob(x)), atol=atol
+    )

@@ -145,3 +145,27 @@ def test_matrix_and_mvn_to_gaussian(x_dim, y_dim):
         rtol=1e-4,
         atol=1e-4,
     )
+
+
+def test_precision_scales_with_dtype():
+    """The f64 axis (PYRO_TPU_X64=1) must buy real precision: the
+    marginalization identity holds to ~1e-9 in double where f32 only
+    reaches ~1e-4 (ref tests/conftest.py:12-14 dtype axis)."""
+    import os
+
+    x64 = os.environ.get("PYRO_TPU_X64") == "1"
+    rtol, atol = (1e-9, 1e-9) if x64 else (1e-4, 1e-3)
+    g, mvn = random_gaussian(jax.random.key(11), (), 5)
+    marg = g.marginalize(left=2)
+    sub = dist.MultivariateNormal(
+        mvn.loc[..., 2:], covariance_matrix=mvn.covariance_matrix[..., 2:, 2:]
+    )
+    x = jax.random.normal(jax.random.key(12), (7, 3))
+    if x64:
+        x = x.astype(jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(marg.log_density(x)),
+        np.asarray(sub.log_prob(x)),
+        rtol=rtol,
+        atol=atol,
+    )

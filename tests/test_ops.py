@@ -320,3 +320,30 @@ def test_tensor_utils():
     assert np.allclose(
         np.asarray(idct(dct(x))), np.asarray(x), atol=1e-4
     )
+
+
+def test_special_precision_scales_with_dtype():
+    """log_beta / log_binomial against scipy at dtype-scaled tolerance:
+    ~1e-12 under PYRO_TPU_X64=1, ~1e-5 in f32."""
+    import os
+
+    from scipy import special as sp
+
+    from pyro_tpu.ops.special import log_beta, log_binomial
+
+    x64 = os.environ.get("PYRO_TPU_X64") == "1"
+    rtol = 1e-12 if x64 else 1e-5
+    x = jnp.array([0.5, 1.0, 3.7, 12.0, 55.0])
+    y = jnp.array([1.5, 2.0, 0.9, 30.0, 2.5])
+    np.testing.assert_allclose(
+        np.asarray(log_beta(x, y)),
+        sp.betaln(np.asarray(x), np.asarray(y)),
+        rtol=rtol,
+    )
+    n = jnp.array([10.0, 20.0, 50.0])
+    k = jnp.array([3.0, 10.0, 25.0])
+    np.testing.assert_allclose(
+        np.asarray(log_binomial(n, k)),
+        np.log(sp.comb(np.asarray(n), np.asarray(k))),
+        rtol=max(rtol, 1e-6) if not x64 else rtol,
+    )

@@ -415,3 +415,34 @@ def test_vectorized_markov_jits():
         lambda d: jax.jit(loss_fn)(d)
     )(data)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bf16_factor_storage_close_to_f32():
+    """Opt-in bf16 enum-factor storage (settings.enum_factor_dtype):
+    the scan streams half the HBM bytes; the loss and gradient must
+    stay within bf16's ~3-decimal-digit storage error of the f32 run,
+    and the f32 default must be bit-identical to not setting it."""
+    import pyro_tpu.settings as settings
+    from pyro_tpu.ops import markov_product
+
+    data = _real_data(17)
+
+    def loss_fn(data):
+        elbo = TraceEnum_ELBO(max_plate_nesting=3)
+        return elbo.differentiable_loss(
+            model_1, _guide, data, 1, True, rng_key=jax.random.key(0)
+        )
+
+    assert settings.get("enum_factor_dtype") is None
+    l_f32 = float(jax.jit(loss_fn)(data))
+    g_f32 = np.asarray(jax.grad(lambda d: jax.jit(loss_fn)(d))(data))
+    with settings.context(enum_factor_dtype=jnp.bfloat16):
+        assert markov_product.FACTOR_DTYPE == jnp.bfloat16
+        l_bf16 = float(jax.jit(loss_fn)(data))
+        g_bf16 = np.asarray(jax.grad(lambda d: jax.jit(loss_fn)(d))(data))
+    assert settings.get("enum_factor_dtype") is None
+    # bf16 mantissa is 8 bits: ~4e-3 relative storage error in the log
+    # factors, amplified ~linearly through the T-step sum
+    np.testing.assert_allclose(l_bf16, l_f32, rtol=2e-2)
+    assert np.isfinite(g_bf16).all()
+    np.testing.assert_allclose(g_bf16, g_f32, rtol=0.1, atol=5e-2)
