@@ -608,11 +608,48 @@ def measure_ours_dmm() -> float:
         dt += time.perf_counter() - t0
     value = reps * n / dt
     extra = _svi_step_cost(svi, value, (data,))
+    # analytic HBM model (see _attach_floor): weights + the (B, T, *)
+    # sequence tensors are the irreducible traffic; the T=129 markov
+    # loop re-reads every per-step weight matrix from HBM each step
+    # (stream model) unless XLA pins them in VMEM (floor model).
+    import numpy as _np
+
+    from pyro_tpu.params.param_store import get_param_store as _gps
+
+    P = sum(
+        int(_np.size(v)) for v in _gps().get_all_unconstrained().values()
+    )
+    B, T, X, Z, R = DMM_B, DMM_T, DMM_X, DMM_Z, DMM_RNN
+    floor = (
+        2 * B * T * X * 4  # data: model likelihood + guide RNN input
+        + 3 * B * T * R * 4  # RNN outputs: write + combiner read + bwd
+        + 4 * B * T * Z * 4  # z draws: guide write/read + model read + bwd
+        + 10 * P * 4  # W read x2, grad w+r, adam m/v r+w, W write
+    )
+    # the teacher-forced one-site trace (dist.NormalMarkovChain) reads
+    # each weight O(1) times per step; only the two sequential scans
+    # (guide ancestral draw: combiner weights; RNN: W_hh) re-stream
+    # their loop-invariant weights per iteration, fwd + 2x bwd
+    w_loop = (DMM_RNN * DMM_RNN + 2 * (Z * DMM_RNN + 2 * DMM_RNN * Z)) * 4
+    stream = floor + 3 * T * w_loop
+    _attach_floor(
+        extra,
+        value,
+        floor,
+        stream,
+        "2*B*T*X data + 3*B*T*rnn + 4*B*T*z + 10*P params;"
+        " stream += 3*T*(rnn^2 + combiner) scan-loop weight re-reads",
+    )
     if extra:
         extra["analysis"] = (
-            f"reference architecture: {DMM_RNN}-wide backward RNN guide "
-            f"+ per-step width-{DMM_H} transition MLPs over T={DMM_T}; "
-            "the step is bound by per-iteration memory traffic, not FLOPs"
+            f"reference architecture ({DMM_RNN}-wide backward RNN guide "
+            f"+ width-{DMM_H} gated transitions over T={DMM_T}) traced "
+            "TPU-first: the whole z chain is ONE NormalMarkovChain site "
+            "(distributions/neural_markov.py), so scoring teacher-forces "
+            "all T conditionals in batched MXU matmuls and only the "
+            "ancestral draw + RNN stay sequential; true traffic sits "
+            "between pct_hbm_floor (loop weights pinned in VMEM) and "
+            "pct_hbm_stream (re-streamed per scan iteration)"
         )
     return value, extra
 
@@ -716,7 +753,47 @@ def measure_ours_hmm_vec(hidden=None) -> float:
     # optimizer): the scan-eliminated chain does ~325x fewer FLOPs than
     # the O(log T) halving product it replaced, so MFU alone
     # under-describes it — report the HBM roofline fraction too
-    return value, _svi_step_cost(svi, value, (sequences, lengths))
+    extra = _svi_step_cost(svi, value, (sequences, lengths))
+    # analytic HBM model (see _attach_floor): per training step the
+    # data-sized arrays that must cross HBM are the (T, B, S) emission
+    # factor (written at build, read by the fwd scan, re-read by the
+    # remat bwd scan) and the (T, B, S) alpha checkpoint stack (written
+    # fwd, read bwd); params/grads/opt state are O(S^2 + S*D).
+    import pyro_tpu.ops.markov_product as _mp
+    import jax.numpy as _jnp
+
+    S, B, T, D = args.hidden_dim, HMMX_SEQS, HMMX_T, HMMX_DATA
+    fb = 2 if _mp.FACTOR_DTYPE == _jnp.bfloat16 else 4
+    n_params = (S * S + S * D) * 4
+    floor = (
+        B * T * D * 4  # observed sequences read once
+        + 3 * T * B * S * fb  # emission factors: build write + 2 scan reads
+        + 2 * T * B * S * 4  # alpha checkpoint stack: fwd write + bwd read
+        + 10 * n_params  # W read x2, grad w+r, adam m/v r+w, W write
+    )
+    # streaming adds the loop-invariant (S, S) transition re-read every
+    # fused unrolled iteration group, fwd + bwd
+    stream = floor + 2 * (T // 8) * S * S * 4
+    _attach_floor(
+        extra,
+        value,
+        floor,
+        stream,
+        f"B*T*D data + (3 emission@{fb}B + 2 alpha@4B)*T*B*S"
+        f" + 10*(S^2+S*D) params; stream += 2*(T/unroll)*S^2 transition",
+    )
+    if extra:
+        per_iter_us = 1e6 / (value * 2 * (T // 8)) if value else None
+        extra["analysis"] = (
+            f"pct_hbm_floor says the step moves ~{extra.get('pct_hbm_floor')}% "
+            "of the bandwidth bound's worth of irreducible bytes: the scan "
+            "elimination is LATENCY-bound on its sequential fused loop "
+            f"iterations (~{per_iter_us:.0f}us per unrolled-by-8 group incl. "
+            "the surrounding enum contraction), not HBM-bound; XLA's "
+            "bytes-accessed upper bound (pct_naive_hbm_bound) over-counts "
+            "VMEM-resident remat re-reads"
+        )
+    return value, extra
 
 
 def measure_ours_hmm_vec512() -> float:
@@ -963,6 +1040,30 @@ def _svi_step_cost(svi, steps_per_sec, args, kwargs=None):
     except Exception as e:
         print(f"# svi step cost analysis failed: {e}", file=sys.stderr)
     return extra
+
+
+def _attach_floor(extra, steps_per_sec, floor_bytes, stream_bytes, model_desc):
+    """Attach an ANALYTIC HBM-traffic roofline to a bench row.
+
+    Unlike XLA's "bytes accessed" (an upper bound that double-counts
+    fusion-internal and remat re-reads, so pct can exceed 100),
+    ``hbm_floor_bytes_per_step`` is a first-principles LOWER bound on
+    the bytes that must cross HBM per step assuming loop-invariant
+    operands stay VMEM-resident; ``pct_hbm_floor`` therefore cannot
+    honestly exceed 100.  ``hbm_stream_bytes_per_step`` is the same
+    model with loop-invariants re-streamed every scan iteration (XLA's
+    actual lowering keeps them in HBM), bracketing the true traffic:
+    floor <= true <= min(stream-model, XLA bytes-accessed)."""
+    extra["hbm_floor_bytes_per_step"] = float(f"{floor_bytes:.3g}")
+    extra["pct_hbm_floor"] = round(
+        floor_bytes * steps_per_sec / HBM_BW * 100, 1
+    )
+    if stream_bytes:
+        extra["hbm_stream_bytes_per_step"] = float(f"{stream_bytes:.3g}")
+        extra["pct_hbm_stream"] = round(
+            stream_bytes * steps_per_sec / HBM_BW * 100, 1
+        )
+    extra["hbm_floor_model"] = model_desc
 
 
 def _xla_cost(fn, *args, **kwargs):

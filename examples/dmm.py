@@ -84,28 +84,39 @@ class Combiner(nn.Module):
 
 
 def model(sequences, annealing_factor=1.0):
+    """p(x, z): the whole z chain is ONE ``NormalMarkovChain`` site —
+    identical joint density to the reference's T-step loop, but scoring
+    a guide path teacher-forces the gated transition over all T steps
+    in one batched MXU matmul set, and the T emitter MLPs batch into
+    one (B*T, .) call.  (Ref examples/dmm.py:287-310 writes the same
+    factorization as T sites.)"""
     B, T, _ = sequences.shape
     trans = flax_module("transition", GatedTransition(), jnp.zeros((1, Z_DIM)))
     emitter = flax_module("emitter", Emitter(), jnp.zeros((1, Z_DIM)))
     z_0 = pyro.param("z_0", jnp.zeros(Z_DIM))
-    z_prev = jnp.broadcast_to(z_0, (B, Z_DIM))
-    tones_plate = pyro.plate("tones", X_DIM, dim=-1)
-    with pyro.plate("sequences", B, dim=-2):
-        for t in pyro.markov(range(T)):
-            loc, scale = trans(z_prev)
-            with pyro.poutine.scale(scale=annealing_factor):
-                z = pyro.sample(f"z_{t + 1}", dist.Normal(loc, scale).to_event(1))
-            logits = emitter(z)
-            with tones_plate:
-                pyro.sample(
-                    f"x_{t + 1}",
-                    dist.Bernoulli(logits=logits),
-                    obs=sequences[:, t],
-                )
-            z_prev = z
+    with pyro.plate("sequences", B, dim=-1):
+        with pyro.poutine.scale(scale=annealing_factor):
+            z = pyro.sample(
+                "z",
+                dist.NormalMarkovChain(
+                    lambda z_prev, _: trans(z_prev),
+                    jnp.broadcast_to(z_0, (B, Z_DIM)),
+                    length=T,
+                ),
+            )
+        logits = emitter(z)  # one batched (B*T, .) MLP
+        pyro.sample(
+            "x",
+            dist.Bernoulli(logits=logits).to_event(2),
+            obs=sequences,
+        )
 
 
 def guide(sequences, annealing_factor=1.0, num_iafs=0):
+    """q(z | x): backward RNN over the observations + a combiner chain,
+    as ONE ``NormalMarkovChain`` site conditioned on the RNN summaries.
+    The ancestral draw is the unavoidable sequential part (a lax.scan
+    of the combiner); its log-density teacher-forces in parallel."""
     B, T, _ = sequences.shape
     combiner = flax_module(
         "combiner",
@@ -128,18 +139,17 @@ def guide(sequences, annealing_factor=1.0, num_iafs=0):
         affine_autoregressive(f"iaf_{i}", Z_DIM, hidden_dims=[50])
         for i in range(num_iafs)
     ]
-    z_prev = jnp.broadcast_to(z_q_0, (B, Z_DIM))
-    with pyro.plate("sequences", B, dim=-2):
-        for t in pyro.markov(range(T)):
-            loc, scale = combiner(z_prev, h[:, t])
-            base = dist.Normal(loc, scale)
-            if iafs:
-                z_dist = dist.TransformedDistribution(base, iafs)
-            else:
-                z_dist = base.to_event(1)
-            with pyro.poutine.scale(scale=annealing_factor):
-                z = pyro.sample(f"z_{t + 1}", z_dist)
-            z_prev = z
+    with pyro.plate("sequences", B, dim=-1):
+        with pyro.poutine.scale(scale=annealing_factor):
+            pyro.sample(
+                "z",
+                dist.NormalMarkovChain(
+                    lambda z_prev, h_t: combiner(z_prev, h_t),
+                    jnp.broadcast_to(z_q_0, (B, Z_DIM)),
+                    xs=h,
+                    transforms=iafs,
+                ),
+            )
 
 
 def synthetic_data(key, batch, T):

@@ -179,17 +179,20 @@ class NUTS(HMC):
             idx_max = ck_idx
             idx_min = idx_max - _trailing_ones(k) + 1
 
-            def check(j, turning):
+            # UNROLLED over the static checkpoint depth: a lax.fori_loop
+            # here lowers to a nested while_loop INSIDE the per-leapfrog
+            # while body — D+1 extra sequential loop-latency hits per
+            # leapfrog on a body that is ~3 VPU ops; unrolling lets XLA
+            # fuse all checks into the leapfrog body (the checks are
+            # independent given r_sum_new)
+            turning = jnp.zeros((), bool)
+            for j in range(D + 1):
                 in_range = (j >= idx_min) & (j <= idx_max) & ((k % 2) == 1)
                 rho = r_sum_new - r_sum_ckpts[j]
                 t = _is_turning(
                     inverse_mass_diag, r_ckpts[j], r_new, rho
                 )
-                return turning | (in_range & t)
-
-            turning = jax.lax.fori_loop(
-                0, D + 1, check, jnp.zeros((), bool)
-            )
+                turning = turning | (in_range & t)
 
             new_tree = _TreeState(
                 jnp.where(k == 0, z_new, tree.z_left),

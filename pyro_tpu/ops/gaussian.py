@@ -675,11 +675,15 @@ def sequential_gaussian_filter_sample(
 
     Same tree algorithm as the reference (``ops/gaussian.py:600``),
     written for XLA: a forward pairwise-halving pass contracts adjacent
-    transition factors (keeping, at each level, the 3n-dim joint over
-    (mid | left, right) on a tape), then a backward pass samples the
-    chain endpoints from the fully contracted Gaussian and descends the
-    tape, conditioning each level's joints on already-sampled neighbor
-    pairs to draw all midpoints of that level *in one batched op*.
+    transition factors (keeping, at each level, the 3n-dim joint in
+    (left, right, mid) block order PLUS the mid-block Cholesky factor on
+    a tape), then a backward pass samples the chain endpoints from the
+    fully contracted Gaussian and descends the tape, conditioning each
+    level's joints on already-sampled neighbor pairs to draw all
+    midpoints of that level *in one batched op* — reusing the taped
+    factorization, since conditioning leaves the mid precision
+    unchanged.  No event permutation (a double gather over the (3n, 3n)
+    precisions) appears anywhere on the path.
     Every level is a fully batched Cholesky/solve with static shapes, so
     depth is ceil(log2 T) regardless of whether ``trans`` is
     heterogeneous.  (The homogeneous specialization
@@ -709,12 +713,16 @@ def sequential_gaussian_filter_sample(
         noise_pos += k
         return block
     trans = trans.expand(batch + (T,))
-    perm = jnp.concatenate(
-        [jnp.arange(n, 2 * n), jnp.arange(n), jnp.arange(2 * n, 3 * n)]
-    )
 
-    # Forward: pairwise halving, taping each level's (mid | left, right)
-    # joints for the backward midpoint draws.
+    # Forward: pairwise halving.  Each level's pair joint is assembled
+    # DIRECTLY in (left, right, mid) block order by concatenation — no
+    # event_permute (a double gather over the full (3n, 3n) precision,
+    # measured as the dominant per-level HBM traffic at T=4000) — and
+    # the mid block is integrated out in place (marginalize's left==0
+    # fast path).  The tape keeps, per level, the (l, r, m) joint AND
+    # the mid-block Cholesky factor computed by the marginalization:
+    # conditioning on (l, r) does not change the mid precision, so the
+    # backward midpoint draws reuse it instead of refactorizing.
     tape = []
     g = trans
     while g.batch_shape[-1] > 1:
@@ -722,11 +730,56 @@ def sequential_gaussian_filter_sample(
         even_time = time // 2 * 2
         x_y = g[..., :even_time].reshape(batch + (even_time // 2, 2))
         x, y = x_y[..., 0], x_y[..., 1]
-        joint = (x.event_pad(right=n) + y.event_pad(left=n)).event_permute(
-            perm
+        # x is over (l, m), y over (m, r); joint over (l, r, m)
+        Px, Py = x.precision, y.precision
+        z_lr = jnp.zeros(Px.shape[:-2] + (n, n), Px.dtype)
+        row_l = jnp.concatenate(
+            [Px[..., :n, :n], z_lr, Px[..., :n, n:]], axis=-1
         )
-        tape.append(joint)
-        contracted = joint.marginalize(left=n)
+        row_r = jnp.concatenate(
+            [z_lr, Py[..., n:, n:], jnp.swapaxes(Py[..., :n, n:], -1, -2)],
+            axis=-1,
+        )
+        row_m = jnp.concatenate(
+            [
+                jnp.swapaxes(Px[..., :n, n:], -1, -2),
+                Py[..., :n, n:],
+                Px[..., n:, n:] + Py[..., :n, :n],
+            ],
+            axis=-1,
+        )
+        precision = jnp.concatenate([row_l, row_r, row_m], axis=-2)
+        info_vec = jnp.concatenate(
+            [
+                x.info_vec[..., :n],
+                y.info_vec[..., n:],
+                x.info_vec[..., n:] + y.info_vec[..., :n],
+            ],
+            axis=-1,
+        )
+        joint = Gaussian(
+            x.log_normalizer + y.log_normalizer, info_vec, precision
+        )
+        # marginalize the (rightmost) mid block, keeping its Cholesky
+        P_kk = precision[..., : 2 * n, : 2 * n]
+        P_km = precision[..., : 2 * n, 2 * n :]
+        P_mm = precision[..., 2 * n :, 2 * n :]
+        i_k = info_vec[..., : 2 * n]
+        i_m = info_vec[..., 2 * n :]
+        L_mm = linalg_small.cholesky(P_mm)
+        LinvPmk = _tri_solve(L_mm, jnp.swapaxes(P_km, -1, -2))
+        Linvim = _tri_solve(L_mm, i_m[..., None])[..., 0]
+        contracted = Gaussian(
+            joint.log_normalizer
+            + 0.5 * n * math.log(2 * math.pi)
+            - jnp.sum(
+                jnp.log(jnp.diagonal(L_mm, axis1=-2, axis2=-1)), axis=-1
+            )
+            + 0.5 * jnp.sum(Linvim**2, axis=-1),
+            i_k - jnp.einsum("...ki,...k->...i", LinvPmk, Linvim),
+            P_kk - jnp.einsum("...ki,...kj->...ij", LinvPmk, LinvPmk),
+        )
+        tape.append((joint, L_mm))
         if time > even_time:
             contracted = Gaussian.cat(
                 [contracted, g[..., even_time:]], dim=-1
@@ -749,7 +802,7 @@ def sequential_gaussian_filter_sample(
         shape + (2, n)
     )
     for level in range(len(tape) - 1, -1, -1):
-        joint = tape[level]
+        joint, L_mm = tape[level]
         m = result.shape[-2]
         if joint.batch_shape[-1] == m - 1:  # even level
             left = result[..., :-1, :]
@@ -762,9 +815,22 @@ def sequential_gaussian_filter_sample(
             keep_tail = result[..., -2:, :]
         cond = jnp.concatenate([left, right], axis=-1)
         mid_noise = None if noise is None else _take_noise(cond.shape[-2])
-        mids = joint.condition(cond).rsample(
-            keys[level + 1], noise=mid_noise
-        )
+        # conditional mid draw, reusing the forward's mid Cholesky:
+        # p(m | l, r) has precision P_mm (unchanged by conditioning) and
+        # info i_m - P_m,(l,r) @ (l, r); joint layout is (l, r, m)
+        P_mk = joint.precision[..., 2 * n :, : 2 * n]
+        i_m = joint.info_vec[..., 2 * n :]
+        info_c = i_m - jnp.einsum("...ij,...j->...i", P_mk, cond)
+        loc = _cholesky_solve(L_mm, info_c[..., None])[..., 0]
+        draw_shape = loc.shape
+        if mid_noise is not None:
+            eps = jnp.broadcast_to(mid_noise, draw_shape)
+        else:
+            eps = jax.random.normal(
+                keys[level + 1], draw_shape, loc.dtype
+            )
+        Lb = jnp.broadcast_to(L_mm, draw_shape + (n,))
+        mids = loc + linalg_small.solve_lower_t(Lb, eps[..., None])[..., 0]
         pairs = jnp.stack([left, mids], axis=-2)
         interleaved = pairs.reshape(
             pairs.shape[:-3] + (2 * pairs.shape[-3], n)
