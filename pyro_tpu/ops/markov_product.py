@@ -55,8 +55,9 @@ FACTOR_DTYPE = None
 
 # scan-body unroll factor: each iteration is microseconds of MXU work,
 # so loop overhead is visible; XLA fuses across unrolled bodies.
-# Sweep measured on v5e (hmm_enum_mxu512, steps/s): 1 -> 8 -> 16 below.
-SCAN_UNROLL = 8
+# Sweep measured on v5e (hmm_enum_mxu512 training steps/s):
+# unroll 8 -> 287.2, 16 -> 314.7, 32 -> 314.0; 16 is the knee.
+SCAN_UNROLL = 16
 
 
 def _packed_sum(terms):
