@@ -72,11 +72,22 @@ def test_bf16_claims_match_settings():
     # document it so users can find it).
     import pyro_tpu.settings as settings
 
-    has_knob = "compute_dtype" in getattr(settings, "_REGISTRY", {}) or hasattr(
-        settings, "compute_dtype"
+    registry = getattr(settings, "_REGISTRY", {})
+    has_knob = any(
+        name in registry for name in ("compute_dtype", "enum_factor_dtype")
     )
     advertised = "bfloat16" in README or "bf16" in README
     assert has_knob == advertised, (
         "README bf16 advertising and the settings knob must agree "
         f"(knob={has_knob}, advertised={advertised})"
     )
+    if "enum_factor_dtype" in registry:
+        # the advertised knob must actually be settable and default-off
+        import jax.numpy as jnp
+
+        assert settings.get("enum_factor_dtype") is None
+        with settings.context(enum_factor_dtype=jnp.bfloat16):
+            assert settings.get("enum_factor_dtype") == jnp.bfloat16
+        assert "enum_factor_dtype" in README, (
+            "README must name the knob users set"
+        )
