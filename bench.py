@@ -777,23 +777,24 @@ def measure_ours_hmm_vec(hidden=None) -> float:
     )
     # streaming adds the loop-invariant (S, S) transition re-read every
     # fused unrolled iteration group, fwd + bwd
-    stream = floor + 2 * (T // 8) * S * S * 4
+    un = _mp.SCAN_UNROLL
+    stream = floor + 2 * (T // un) * S * S * 4
     _attach_floor(
         extra,
         value,
         floor,
         stream,
         f"B*T*D data + (3 emission@{fb}B + 2 alpha@4B)*T*B*S"
-        f" + 10*(S^2+S*D) params; stream += 2*(T/unroll)*S^2 transition",
+        f" + 10*(S^2+S*D) params; stream += 2*(T/{un})*S^2 transition",
     )
     if extra:
-        per_iter_us = 1e6 / (value * 2 * (T // 8)) if value else None
+        per_iter_us = 1e6 / (value * 2 * (T // un)) if value else None
         extra["analysis"] = (
             f"pct_hbm_floor says the step moves ~{extra.get('pct_hbm_floor')}% "
             "of the bandwidth bound's worth of irreducible bytes: the scan "
             "elimination is LATENCY-bound on its sequential fused loop "
-            f"iterations (~{per_iter_us:.0f}us per unrolled-by-8 group incl. "
-            "the surrounding enum contraction), not HBM-bound; XLA's "
+            f"iterations (~{per_iter_us:.0f}us per unrolled-by-{un} group "
+            "incl. the surrounding enum contraction), not HBM-bound; XLA's "
             "bytes-accessed upper bound (pct_naive_hbm_bound) over-counts "
             "VMEM-resident remat re-reads"
         )

@@ -117,6 +117,7 @@ SMOKE_MODULES = {
     "test_valid_models",
     "test_pyro_module",
     "test_doc_claims",
+    "test_neural_markov",
 }
 # within smoke modules, heavyweight statistical cases are excluded by
 # keyword so the tier stays under its budget
