@@ -118,6 +118,7 @@ SMOKE_MODULES = {
     "test_pyro_module",
     "test_doc_claims",
     "test_neural_markov",
+    "test_funsor",
 }
 # within smoke modules, heavyweight statistical cases are excluded by
 # keyword so the tier stays under its budget

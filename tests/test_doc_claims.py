@@ -91,3 +91,14 @@ def test_bf16_claims_match_settings():
         assert "enum_factor_dtype" in README, (
             "README must name the knob users set"
         )
+
+
+def test_funsor_native_claim_matches_code():
+    # Round 5 closed the funsor gate; docs must not still call it gated,
+    # and the claimed module surface must import and work.
+    assert "funsor | gated" not in PARITY
+    import pyro_tpu.contrib.funsor as funsor  # must NOT raise ImportError
+
+    assert callable(funsor.to_funsor)
+    t = funsor.Tensor.__name__  # the term algebra is exported
+    assert t == "Tensor"

@@ -181,8 +181,14 @@ def test_mass_matrix_adapters():
     )
 
 
-def test_funsor_gate_raises():
-    import pytest
+def test_funsor_frontend_is_native():
+    """contrib.funsor was an ImportError gate through round 4; it is now
+    a native named-tensor term algebra (terms/runtime/primitives) plus
+    the backend namespace (see tests/test_funsor.py for semantics)."""
+    import pyro_tpu.contrib.funsor as funsor
 
-    with pytest.raises(ImportError, match="funsor"):
-        import pyro_tpu.contrib.funsor  # noqa: F401
+    assert callable(funsor.to_funsor) and callable(funsor.to_data)
+    assert funsor.Tensor is not None and funsor.Variable is not None
+    from pyro_tpu.contrib.pyroapi import _BACKENDS
+
+    assert "contrib.funsor" in _BACKENDS
