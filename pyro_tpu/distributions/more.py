@@ -847,23 +847,36 @@ class OMTMultivariateNormal(MultivariateNormal):
     (``mvn_gradients.py``), which generally has lower gradient variance
     than the standard reparameterization trick.
 
-    Like the reference (``omt_mvn.py:30-34``), ``loc`` must be 1-D and
-    ``scale_tril`` 2-D — the estimator is defined for a single
-    (unbatched) Cholesky factor.  For a batch of factors, ``jax.vmap``
-    the underlying ``mvn_gradients.omt_mvn_sample`` directly; the
-    custom VJP composes with vmap (tested in
-    ``tests/test_omt_mvn.py``)."""
+    Like the reference (``omt_mvn.py:30-34``), ``scale_tril`` must be
+    2-D — the estimator is defined for a single (unbatched) Cholesky
+    factor.  ``loc`` may carry batch dims (``expand`` broadcasts it and
+    keeps the shared factor); for a batch of *factors*, ``jax.vmap`` the
+    underlying ``mvn_gradients.omt_mvn_sample`` directly — the custom
+    VJP composes with vmap (tested in ``tests/test_omt_mvn.py``)."""
 
     def __init__(self, loc, scale_tril):
         loc = jnp.asarray(loc, jnp.result_type(float))
         scale_tril = jnp.asarray(scale_tril, loc.dtype)
-        if loc.ndim != 1:
-            raise ValueError("OMTMultivariateNormal loc must be 1-dimensional")
+        if loc.ndim < 1:
+            raise ValueError(
+                "OMTMultivariateNormal loc must be at least 1-dimensional"
+            )
         if scale_tril.ndim != 2:
             raise ValueError(
-                "OMTMultivariateNormal scale_tril must be 2-dimensional"
+                "OMTMultivariateNormal scale_tril must be 2-dimensional "
+                "(a single factor; vmap mvn_gradients.omt_mvn_sample for "
+                "batched factors)"
             )
         super().__init__(loc, scale_tril=scale_tril)
+
+    def expand(self, batch_shape, _instance=None):
+        # keep the single 2-D factor; only loc broadcasts (the custom VJP
+        # unbroadcasts its gradient to the stored loc shape)
+        n = self.event_shape[0]
+        return type(self)(
+            jnp.broadcast_to(self.loc, tuple(batch_shape) + (n,)),
+            self._unbroadcast_scale_tril,
+        )
 
     def rsample(self, key, sample_shape=()):
         from .mvn_gradients import omt_mvn_sample
@@ -871,7 +884,9 @@ class OMTMultivariateNormal(MultivariateNormal):
         white = jax.random.normal(
             key, tuple(sample_shape) + self.loc.shape, self.loc.dtype
         )
-        return omt_mvn_sample(self.loc, self.scale_tril, white)
+        return omt_mvn_sample(
+            self.loc, self._unbroadcast_scale_tril, white
+        )
 
 
 class AVFMultivariateNormal(MultivariateNormal):
@@ -882,24 +897,29 @@ class AVFMultivariateNormal(MultivariateNormal):
     (``mvn_gradients.py``) and should be learned jointly with
     loc/scale_tril.
 
-    Like the reference (``avf_mvn.py:48-56``), ``loc`` must be 1-D and
-    ``scale_tril`` 2-D (single factor); for batched factors ``jax.vmap``
+    Like the reference (``avf_mvn.py:48-56``), ``scale_tril`` must be
+    2-D (a single factor); ``loc`` may carry batch dims (``expand``
+    broadcasts it).  For batched factors ``jax.vmap``
     ``mvn_gradients.avf_mvn_sample`` directly."""
 
     def __init__(self, loc, scale_tril, control_var):
         loc = jnp.asarray(loc, jnp.result_type(float))
         scale_tril = jnp.asarray(scale_tril, loc.dtype)
         control_var = jnp.asarray(control_var, loc.dtype)
-        if loc.ndim != 1:
-            raise ValueError("AVFMultivariateNormal loc must be 1-dimensional")
+        if loc.ndim < 1:
+            raise ValueError(
+                "AVFMultivariateNormal loc must be at least 1-dimensional"
+            )
         if scale_tril.ndim != 2:
             raise ValueError(
-                "AVFMultivariateNormal scale_tril must be 2-dimensional"
+                "AVFMultivariateNormal scale_tril must be 2-dimensional "
+                "(a single factor; vmap mvn_gradients.avf_mvn_sample for "
+                "batched factors)"
             )
         if (
             control_var.ndim != 3
             or control_var.shape[0] != 2
-            or control_var.shape[2] != loc.shape[0]
+            or control_var.shape[2] != loc.shape[-1]
         ):
             raise ValueError(
                 "control_var should be of size 2 x L x D, where D is the "
@@ -908,6 +928,14 @@ class AVFMultivariateNormal(MultivariateNormal):
         self.control_var = control_var
         super().__init__(loc, scale_tril=scale_tril)
 
+    def expand(self, batch_shape, _instance=None):
+        n = self.event_shape[0]
+        return type(self)(
+            jnp.broadcast_to(self.loc, tuple(batch_shape) + (n,)),
+            self._unbroadcast_scale_tril,
+            self.control_var,
+        )
+
     def rsample(self, key, sample_shape=()):
         from .mvn_gradients import avf_mvn_sample
 
@@ -915,5 +943,5 @@ class AVFMultivariateNormal(MultivariateNormal):
             key, tuple(sample_shape) + self.loc.shape, self.loc.dtype
         )
         return avf_mvn_sample(
-            self.loc, self.scale_tril, self.control_var, white
+            self.loc, self._unbroadcast_scale_tril, self.control_var, white
         )

@@ -30,6 +30,18 @@ def _sum_leftmost(x, count):
     return x.sum(axis=tuple(range(count)))
 
 
+def _unbroadcast(g, shape):
+    """Reduce a gradient to the (possibly broadcast) primal shape, so a
+    batched ``loc`` (from ``Distribution.expand``) gets a matching grad."""
+    extra = g.ndim - len(shape)
+    if extra:
+        g = g.sum(axis=tuple(range(extra)))
+    keep = tuple(i for i, s in enumerate(shape) if s == 1 and g.shape[i] != 1)
+    if keep:
+        g = g.sum(axis=keep, keepdims=True)
+    return g
+
+
 @jax.custom_vjp
 def omt_mvn_sample(loc, scale_tril, white):
     """z = loc + white @ L.T with the OMT backward for (loc, L)."""
@@ -38,15 +50,15 @@ def omt_mvn_sample(loc, scale_tril, white):
 
 def _omt_fwd(loc, scale_tril, white):
     z = white @ scale_tril.T
-    return loc + z, (z, white, scale_tril)
+    return loc + z, (z, white, scale_tril, loc)
 
 
 def _omt_bwd(res, g):
     # ref omt_mvn.py:51-90 (_OMTMVNSample.backward)
     jitter = 1.0e-8
-    z, epsilon, L = res
+    z, epsilon, L, loc_res = res
     dim = L.shape[0]
-    loc_grad = _sum_leftmost(g, -1)
+    loc_grad = _unbroadcast(g, loc_res.shape)
 
     identity = jnp.eye(dim, dtype=L.dtype)
     R_inv = solve_triangular(L.T, identity, lower=False)
@@ -72,7 +84,7 @@ def _omt_bwd(res, g):
     diff_L_ab = diff_L_ab + 0.5 * Tr_xi_Y
     L_grad = jnp.tril(diff_L_ab)
 
-    return loc_grad, L_grad, jnp.zeros_like(res[1])
+    return loc_grad, L_grad, jnp.zeros_like(epsilon)
 
 
 omt_mvn_sample.defvjp(_omt_fwd, _omt_bwd)
@@ -86,14 +98,14 @@ def avf_mvn_sample(loc, scale_tril, control_var, white):
 
 def _avf_fwd(loc, scale_tril, control_var, white):
     z = loc + white @ scale_tril.T
-    return z, (scale_tril, control_var, white)
+    return z, (scale_tril, control_var, white, loc)
 
 
 def _avf_bwd(res, g):
     # ref avf_mvn.py:78-106 (_AVFMVNSample.backward)
-    L, control_var, epsilon = res
+    L, control_var, epsilon, loc_res = res
     B, C = control_var[0], control_var[1]
-    loc_grad = _sum_leftmost(g, -1)
+    loc_grad = _unbroadcast(g, loc_res.shape)
 
     # standard reparameterization-trick gradient
     epsilon_jb = epsilon[..., None, :]

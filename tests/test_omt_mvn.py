@@ -154,3 +154,45 @@ def test_omt_vjp_composes_with_vmap_over_batched_L():
     assert ga[1].shape == (B, D, D) and ga[2].shape == (B, 2, 2, D)
     for g in ga:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_expanded_batched_loc_gradients():
+    """expand() keeps the single 2-D factor and broadcasts loc; gradients
+    through rsample must unbroadcast the loc grad to the stored shape
+    (regression: round-5 unit tier caught expand() rejecting batched loc)."""
+    import pyro_tpu.distributions as dist
+
+    D, B = 3, 4
+    ks = jax.random.split(jax.random.key(7), 3)
+    loc = jax.random.normal(ks[0], (D,))
+    L = jnp.tril(jax.random.normal(ks[1], (D, D))) + 2 * jnp.eye(D)
+
+    d = dist.OMTMultivariateNormal(loc, L).expand((B,))
+    assert d.batch_shape == (B,)
+    z = d.rsample(ks[2])
+    assert z.shape == (B, D)
+    assert np.isfinite(np.asarray(d.log_prob(z))).all()
+
+    def loss(loc, L):
+        dd = dist.OMTMultivariateNormal(loc, L).expand((B,))
+        return jnp.sum(dd.rsample(ks[2]) ** 2)
+
+    g_loc, g_L = jax.grad(loss, argnums=(0, 1))(loc, L)
+    assert g_loc.shape == (D,) and g_L.shape == (D, D)
+    assert np.isfinite(np.asarray(g_loc)).all()
+    assert np.isfinite(np.asarray(g_L)).all()
+
+    cv = 0.1 * jax.random.normal(ks[2], (2, 2, D))
+    da = dist.AVFMultivariateNormal(loc, L, cv).expand((B,))
+    za = da.rsample(ks[2])
+    assert za.shape == (B, D)
+
+    def loss_avf(loc, L, cv):
+        dd = dist.AVFMultivariateNormal(loc, L, cv).expand((B,))
+        return jnp.sum(dd.rsample(ks[2]) ** 2)
+
+    ga = jax.grad(loss_avf, argnums=(0, 1, 2))(loc, L, cv)
+    assert ga[0].shape == (D,) and ga[1].shape == (D, D)
+    assert ga[2].shape == (2, 2, D)
+    for g in ga:
+        assert np.isfinite(np.asarray(g)).all()
