@@ -32,23 +32,9 @@ def prefix_condition(d, data, prefix_len: int, duration_total: int):
     """
     t_future = duration_total - prefix_len
     if isinstance(d, GaussianHMM):
-        filtered = d.filter(data[..., :prefix_len, :])
-        from ...ops.gaussian import mvn_to_gaussian
-
-        new = GaussianHMM.__new__(GaussianHMM)
-        from ...distributions.distribution import Distribution
-
-        Distribution.__init__(
-            new, d.batch_shape, (t_future, d.obs_dim)
-        )
-        new._duration = t_future
-        new.hidden_dim = d.hidden_dim
-        new.obs_dim = d.obs_dim
-        new._init = mvn_to_gaussian(filtered)
-        new._trans = d._trans
-        new._obs = d._obs
-        new._pyro_init_args = ((), ())
-        return new
+        # the distribution-level primitive handles homogeneous AND
+        # heterogeneous (time-varying) factors (ref hmm.py:690)
+        return d.prefix_condition(data[..., :prefix_len, :])
     if isinstance(d, Independent):
         base = d.base_dist
         if isinstance(base, dist.Normal):

@@ -138,8 +138,38 @@ class DiscreteHMM(HiddenMarkovModel):
         new._pyro_init_args = self._pyro_init_args
         return new
 
+    def _validate_value(self, value):
+        """Reference error semantics (torch ``_validate_sample`` +
+        strict broadcasting; see tests/test_hmm_shapes.py): reject values
+        with missing event dims, mismatched event shape, or a time axis
+        that disagrees with a non-broadcastable model time axis."""
+        value = jnp.asarray(value)
+        obs_ed = self.observation_dist.event_dim
+        event_ndim = 1 + obs_ed
+        if value.ndim < event_ndim:
+            raise ValueError(
+                f"value has too few dimensions: {value.shape}"
+            )
+        if obs_ed and tuple(value.shape[-obs_ed:]) != tuple(
+            self.event_shape[1:]
+        ):
+            raise ValueError(
+                "The right-most size of value must match event_shape: "
+                f"{value.shape} vs {self.event_shape}"
+            )
+        t_model = self.event_shape[0]
+        if t_model != 1 and value.shape[-event_ndim] != t_model:
+            raise ValueError(
+                "The right-most size of value must match event_shape: "
+                f"{value.shape} vs {self.event_shape}"
+            )
+        # raises ValueError on incompatible batch dims
+        broadcast_shape(value.shape[:-event_ndim], self.batch_shape)
+        return value
+
     def log_prob(self, value):
         # combine observation and transition factors (ref ``hmm.py:352``)
+        value = self._validate_value(value)
         value = jnp.expand_dims(
             value, -1 - self.observation_dist.event_dim
         )
@@ -153,6 +183,7 @@ class DiscreteHMM(HiddenMarkovModel):
 
     def filter(self, value) -> Categorical:
         """Posterior over the final state (ref ``hmm.py:371``)."""
+        value = self._validate_value(value)
         value = jnp.expand_dims(
             value, -1 - self.observation_dist.event_dim
         )
@@ -258,7 +289,29 @@ class GaussianHMM(HiddenMarkovModel):
         new._pyro_init_args = self._pyro_init_args
         return new
 
+    def _validate_value(self, value):
+        """Reference error semantics (see DiscreteHMM._validate_value)."""
+        value = jnp.asarray(value)
+        if value.ndim < 2:
+            raise ValueError(
+                f"value has too few dimensions: {value.shape}"
+            )
+        if value.shape[-1] != self.obs_dim:
+            raise ValueError(
+                "The right-most size of value must match event_shape: "
+                f"{value.shape} vs {self.event_shape}"
+            )
+        t_model = self.event_shape[0]
+        if t_model != 1 and value.shape[-2] != t_model:
+            raise ValueError(
+                "The right-most size of value must match event_shape: "
+                f"{value.shape} vs {self.event_shape}"
+            )
+        broadcast_shape(value.shape[:-2], self.batch_shape)
+        return value
+
     def log_prob(self, value):
+        value = self._validate_value(value)
         result = self._trans + self._obs.condition(value).event_pad(
             left=self.hidden_dim
         )
@@ -316,6 +369,7 @@ class GaussianHMM(HiddenMarkovModel):
 
     def rsample_posterior(self, value, key, sample_shape=()):
         """Sample latent states given observations (ref ``hmm.py:600``)."""
+        value = self._validate_value(value)
         trans = self._trans + self._obs.condition(value).event_pad(
             left=self.hidden_dim
         )
@@ -344,6 +398,110 @@ class GaussianHMM(HiddenMarkovModel):
         logp = gaussian_tensordot(self._init, logp, dims=self.hidden_dim)
         # normalize to an MVN over the final state
         return logp.to_mvn()
+
+    def _likelihood_to_gaussian(self, other):
+        """Per-time-step likelihood Gaussian over obs_dim (batch
+        ``(..., T)``) from an Independent Normal / MVN with event shape
+        ``(T, obs_dim)``."""
+        from .continuous import Normal
+        from .distribution import Independent
+
+        if isinstance(other, Independent):
+            base = other.base_dist
+            if isinstance(base, Normal):
+                shape = tuple(other.batch_shape) + tuple(other.event_shape)
+                loc = jnp.broadcast_to(base.loc, shape)
+                scale = jnp.broadcast_to(base.scale, shape)
+                return mvn_to_gaussian(Independent(Normal(loc, scale), 1))
+            if hasattr(base, "scale_tril"):
+                return mvn_to_gaussian(base)
+        raise ValueError(
+            "conjugate_update requires an Independent Normal or "
+            "MultivariateNormal likelihood with event_shape "
+            f"(T, obs_dim); got {type(other).__name__}"
+        )
+
+    def conjugate_update(self, other):
+        """Fuse a compatible observation likelihood into this HMM
+        (ref ``hmm.py:638``): returns ``(updated, log_normalizer)`` with
+
+            f.log_prob(x) + g.log_prob(x)
+                == fg.log_prob(x) + log_normalizer
+        """
+        duration = (
+            other.event_shape[0] if self.duration is None else self.duration
+        )
+        assert tuple(other.event_shape) == (duration, self.obs_dim)
+
+        new = object.__new__(GaussianHMM)
+        new.hidden_dim = self.hidden_dim
+        new.obs_dim = self.obs_dim
+        new._init = self._init
+        new._trans = self._trans
+        new._obs = self._obs + self._likelihood_to_gaussian(other).event_pad(
+            left=self.hidden_dim
+        )
+
+        # normalize: the updated init absorbs -log Z so the result is a
+        # proper distribution over observations
+        logp = new._trans + new._obs.marginalize(right=new.obs_dim).event_pad(
+            left=new.hidden_dim
+        )
+        logp = sequential_gaussian_tensordot(logp.expand(logp.batch_shape))
+        logp = gaussian_tensordot(new._init, logp, dims=new.hidden_dim)
+        log_normalizer = logp.event_logsumexp()
+        new._init = new._init - log_normalizer
+
+        Distribution.__init__(
+            new, jnp.shape(log_normalizer), (duration, self.obs_dim)
+        )
+        new._duration = duration
+        new._pyro_init_args = self._pyro_init_args
+        return new, log_normalizer
+
+    def prefix_condition(self, data):
+        """Condition on the first ``t`` observed steps and return the
+        posterior predictive HMM over the remaining ``f = duration - t``
+        steps (ref ``hmm.py:690``; the forecasting primitive)."""
+        assert data.ndim >= 2
+        assert data.shape[-1] == self.event_shape[-1]
+        assert data.shape[-2] < self.duration
+        t = data.shape[-2]
+        f = self.duration - t
+
+        left = object.__new__(GaussianHMM)
+        left.hidden_dim = self.hidden_dim
+        left.obs_dim = self.obs_dim
+        left._init = self._init
+        right = object.__new__(GaussianHMM)
+        right.hidden_dim = self.hidden_dim
+        right.obs_dim = self.obs_dim
+
+        # homogeneous factors are shared; heterogeneous ones split in time
+        if self._obs.batch_shape == () or self._obs.batch_shape[-1] == 1:
+            left._obs = right._obs = self._obs
+        else:
+            left._obs = self._obs[..., :t]
+            right._obs = self._obs[..., t:]
+        if self._trans.batch_shape == () or self._trans.batch_shape[-1] == 1:
+            left._trans = right._trans = self._trans
+        else:
+            left._trans = self._trans[..., :t]
+            right._trans = self._trans[..., t:]
+
+        Distribution.__init__(left, self.batch_shape, (t, self.obs_dim))
+        left._duration = t
+        left._pyro_init_args = self._pyro_init_args
+        initial_dist = left.filter(data)
+
+        right._init = mvn_to_gaussian(initial_dist)
+        batch_shape = broadcast_shape(
+            right._init.batch_shape, self.batch_shape
+        )
+        Distribution.__init__(right, batch_shape, (f, self.obs_dim))
+        right._duration = f
+        right._pyro_init_args = self._pyro_init_args
+        return right
 
     @property
     def mean(self):
