@@ -24,33 +24,134 @@ from ...infer.autoguide import AutoNormal
 from ...optim import DCTAdam
 
 
+# --------------------------------------------------------------------------
+# prefix_condition: singledispatch registry over noise-distribution types
+# (ref ``forecast/util.py:205-292``).  Given a distribution over (t+f, D)
+# and data over the first t steps, produce the conditional over the
+# remaining f steps.  HMMs condition exactly via filtering; iid families
+# slice their time-indexed parameters (the future is independent of the
+# prefix); wrappers recurse into their base distribution.
+
+from functools import singledispatch
+
+
+@singledispatch
+def _prefix_condition(d, data):
+    # fall through to a distribution-level method (GaussianHMM, and any
+    # user distribution implementing the protocol; ref util.py:217-222)
+    try:
+        return d.prefix_condition(data)
+    except AttributeError as e:
+        raise NotImplementedError(
+            f"prefix_condition() does not support {type(d).__name__}"
+        ) from e
+
+
+def _slice_future(param, t, batch_shape):
+    """Slice a time-indexed parameter to the future window, broadcasting
+    scalars/partial shapes to the full (..., T, D) batch first."""
+    if isinstance(param, int) and not hasattr(param, "ndim"):
+        return param  # python-int parameter (e.g. total_count)
+    param = jnp.broadcast_to(jnp.asarray(param), batch_shape)
+    return param[..., t:, :]
+
+
+# iid univariate families: parameters indexed by time just slice
+# (ref util.py:179-267 UNIVARIATE_DISTS; attribute names match ours)
+_UNIVARIATE_DISTS = {
+    dist.Bernoulli: ("probs",),
+    dist.Beta: ("concentration1", "concentration0"),
+    dist.Cauchy: ("loc", "scale"),
+    dist.Exponential: ("rate",),
+    dist.Gamma: ("concentration", "rate"),
+    dist.GammaPoisson: ("concentration", "rate"),
+    dist.Geometric: ("probs",),
+    dist.InverseGamma: ("concentration", "rate"),
+    dist.Laplace: ("loc", "scale"),
+    dist.LogNormal: ("loc", "scale"),
+    dist.NegativeBinomial: ("total_count", "probs"),
+    dist.Normal: ("loc", "scale"),
+    dist.Poisson: ("rate",),
+    dist.Stable: ("stability", "skew", "scale", "loc"),
+    dist.StableWithLogProb: ("stability", "skew", "scale", "loc"),
+    dist.StudentT: ("df", "loc", "scale"),
+    dist.Uniform: ("low", "high"),
+    dist.ZeroInflatedPoisson: ("rate", "gate"),
+}
+
+
+def _prefix_condition_univariate(d, data):
+    t = data.shape[-2]
+    params = {
+        name: _slice_future(getattr(d, name), t, d.batch_shape)
+        for name in _UNIVARIATE_DISTS[type(d)]
+    }
+    return type(d)(**params)
+
+
+for _type in _UNIVARIATE_DISTS:
+    _prefix_condition.register(_type)(_prefix_condition_univariate)
+
+
+@_prefix_condition.register(dist.MultivariateNormal)
+def _(d, data):
+    # batch (..., T), event (D,): slice the time batch axis
+    t = data.shape[-2]
+    n = d.event_shape[0]
+    loc = jnp.broadcast_to(d.loc, d.batch_shape + (n,))[..., t:, :]
+    scale_tril = jnp.broadcast_to(
+        d.scale_tril, d.batch_shape + (n, n)
+    )[..., t:, :, :]
+    return dist.MultivariateNormal(loc, scale_tril=scale_tril)
+
+
+@_prefix_condition.register(dist.MaskedDistribution)
+def _(d, data):
+    base_dist = _prefix_condition(d.base_dist, data)
+    mask = d._mask
+    if hasattr(mask, "ndim") and mask.ndim:
+        mask = jnp.broadcast_to(mask, d.batch_shape)
+        mask = mask[
+            tuple(slice(-size, None) for size in base_dist.batch_shape)
+        ]
+    return base_dist.mask(mask)
+
+
+@_prefix_condition.register(Independent)
+def _(d, data):
+    base_dist = _prefix_condition(d.base_dist, data)
+    return base_dist.to_event(d.reinterpreted_batch_ndims)
+
+
+@_prefix_condition.register(dist.FoldedDistribution)
+def _(d, data):
+    base_dist = _prefix_condition(d.base_dist, data)
+    return dist.FoldedDistribution(base_dist)
+
+
+@_prefix_condition.register(dist.TransformedDistribution)
+def _(d, data):
+    for t in reversed(d.transforms):
+        data = t.inv(data)
+    base_dist = _prefix_condition(d.base_dist, data)
+    return dist.TransformedDistribution(base_dist, d.transforms)
+
+
+@_prefix_condition.register(dist.IndependentHMM)
+def _(d, data):
+    # (..., t, D) -> one scalar HMM per output dim (ref util.py:239-243)
+    base_data = jnp.swapaxes(data, -1, -2)[..., None]
+    base_dist = _prefix_condition(d.base_dist, base_data)
+    return dist.IndependentHMM(base_dist)
+
+
 def prefix_condition(d, data, prefix_len: int, duration_total: int):
     """Conditional distribution of the future given the observed prefix
-    (ref ``forecast/util.py:prefix_condition``).
-
-    Supports GaussianHMM (exact filtering) and Independent Normal noise.
-    """
-    t_future = duration_total - prefix_len
-    if isinstance(d, GaussianHMM):
-        # the distribution-level primitive handles homogeneous AND
-        # heterogeneous (time-varying) factors (ref hmm.py:690)
-        return d.prefix_condition(data[..., :prefix_len, :])
-    if isinstance(d, Independent):
-        base = d.base_dist
-        if isinstance(base, dist.Normal):
-            # iid noise over time: the future is independent of the prefix
-            loc = jnp.broadcast_to(
-                base.loc, base.batch_shape
-            )[..., -t_future:, :] if base.loc.ndim >= 2 else base.loc
-            scale = jnp.broadcast_to(
-                base.scale, base.batch_shape
-            )[..., -t_future:, :] if base.scale.ndim >= 2 else base.scale
-            return dist.Normal(loc, scale).to_event(
-                d.reinterpreted_batch_ndims
-            )
-    raise NotImplementedError(
-        f"prefix_condition not implemented for {type(d).__name__}"
-    )
+    (ref ``forecast/util.py:205``): dispatches over the noise
+    distribution's type; exact filtering for HMMs, parameter slicing for
+    iid families, recursion for wrappers."""
+    del duration_total  # implied by d.event_shape / data
+    return _prefix_condition(d, data[..., :prefix_len, :])
 
 
 class ForecastingModel:
