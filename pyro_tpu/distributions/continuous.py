@@ -98,6 +98,11 @@ class Normal(UnivariateMixin, Distribution):
     def icdf(self, q):
         return self.loc + self.scale * jsp.ndtri(q)
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
 
 class Uniform(UnivariateMixin, Distribution):
     arg_constraints = {
@@ -190,6 +195,11 @@ class Exponential(UnivariateMixin, Distribution):
     def icdf(self, q):
         return -jnp.log1p(-q) / self.rate
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.zeros(self.batch_shape)
+
 
 class Gamma(UnivariateMixin, Distribution):
     arg_constraints = {
@@ -259,6 +269,11 @@ class Gamma(UnivariateMixin, Distribution):
             - _log_normalizer(updated)
         )
         return updated, log_normalizer
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.clip((self.concentration - 1) / self.rate, 0, None)
 
 
 class Chi2(Gamma):
@@ -393,6 +408,13 @@ class Beta(UnivariateMixin, Distribution):
             + (total - 2) * jsp.digamma(total)
         )
 
+    @property
+    def mode(self):
+        """Mode (torch parity): nan where both concentrations <= 1."""
+        c1 = jnp.clip(self.concentration1 - 1, 0, None)
+        c0 = jnp.clip(self.concentration0 - 1, 0, None)
+        return c1 / (c1 + c0)
+
 
 class LogNormal(TransformedDistribution):
     arg_constraints = {
@@ -427,6 +449,11 @@ class LogNormal(TransformedDistribution):
         return (
             0.5 + 0.5 * math.log(2 * math.pi) + jnp.log(self.scale) + self.loc
         )
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.exp(self.loc - self.scale**2)
 
 
 class Cauchy(UnivariateMixin, Distribution):
@@ -472,6 +499,11 @@ class Cauchy(UnivariateMixin, Distribution):
     def icdf(self, q):
         return self.loc + self.scale * jnp.tan(math.pi * (q - 0.5))
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
 
 class HalfNormal(UnivariateMixin, Distribution):
     arg_constraints = {"scale": constraints.positive}
@@ -508,6 +540,11 @@ class HalfNormal(UnivariateMixin, Distribution):
     def icdf(self, q):
         return self.scale * jsp.ndtri((q + 1) / 2)
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.zeros(self.batch_shape)
+
 
 class HalfCauchy(UnivariateMixin, Distribution):
     arg_constraints = {"scale": constraints.positive}
@@ -543,6 +580,11 @@ class HalfCauchy(UnivariateMixin, Distribution):
 
     def icdf(self, q):
         return self.scale * jnp.tan(math.pi * q / 2)
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.zeros(self.batch_shape)
 
 
 class StudentT(UnivariateMixin, Distribution):
@@ -593,6 +635,11 @@ class StudentT(UnivariateMixin, Distribution):
         return jnp.where(
             self.df > 2, v, jnp.where(self.df > 1, jnp.inf, jnp.nan)
         )
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape)
 
 
 class Laplace(UnivariateMixin, Distribution):
@@ -645,6 +692,11 @@ class Laplace(UnivariateMixin, Distribution):
             -2 * jnp.abs(term)
         )
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
 
 class Gumbel(UnivariateMixin, Distribution):
     arg_constraints = {
@@ -686,6 +738,11 @@ class Gumbel(UnivariateMixin, Distribution):
 
     def icdf(self, q):
         return self.loc - self.scale * jnp.log(-jnp.log(q))
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape)
 
 
 class Logistic(UnivariateMixin, Distribution):
@@ -864,6 +921,11 @@ class VonMises(UnivariateMixin, Distribution):
 
         ratio = jnp.exp(log_i1(self.concentration) - log_i0(self.concentration))
         return jnp.broadcast_to(1 - ratio, self.batch_shape)
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape)
 
 
 class SoftLaplace(UnivariateMixin, Distribution):

@@ -104,6 +104,11 @@ class Bernoulli(Distribution):
             return Bernoulli(probs=jnp.broadcast_to(self._probs, batch_shape))
         return Bernoulli(logits=jnp.broadcast_to(self._logits, batch_shape))
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return (self.probs > 0.5).astype(self.probs.dtype)
+
 
 class Categorical(Distribution):
     arg_constraints = {
@@ -233,6 +238,11 @@ class Categorical(Distribution):
             )
         )
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.argmax(self.probs, axis=-1)
+
 
 def _broadcast_cat(value, logits):
     shape = broadcast_shape(jnp.shape(value), jnp.shape(logits)[:-1])
@@ -306,6 +316,12 @@ class OneHotCategorical(Distribution):
                 self._categorical._logits, batch_shape + (n,)
             )
         )
+
+    @property
+    def mode(self):
+        """Mode (torch parity): one-hot at the most probable category."""
+        idx = jnp.argmax(self.probs, axis=-1)
+        return jax.nn.one_hot(idx, self.probs.shape[-1], dtype=self.probs.dtype)
 
 
 class Binomial(Distribution):
@@ -401,6 +417,11 @@ class Binomial(Distribution):
         if self._probs is not None:
             return Binomial(n, probs=jnp.broadcast_to(self._probs, batch_shape))
         return Binomial(n, logits=jnp.broadcast_to(self._logits, batch_shape))
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.clip(jnp.floor((self.total_count + 1) * self.probs), None, self.total_count)
 
 
 class Multinomial(Distribution):
@@ -509,6 +530,11 @@ class Poisson(Distribution):
     def expand(self, batch_shape, _instance=None):
         return Poisson(jnp.broadcast_to(self.rate, tuple(batch_shape)))
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.floor(self.rate)
+
 
 class Geometric(Distribution):
     """Number of failures before first success."""
@@ -562,6 +588,16 @@ class Geometric(Distribution):
         if self._probs is not None:
             return Geometric(probs=jnp.broadcast_to(self._probs, batch_shape))
         return Geometric(logits=jnp.broadcast_to(self._logits, batch_shape))
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.zeros(self.batch_shape)
+
+    @property
+    def logits(self):
+        """Log-odds of success (torch parity)."""
+        return probs_to_logits(self.probs, is_binary=True)
 
 
 class NegativeBinomial(Distribution):
@@ -640,4 +676,16 @@ class NegativeBinomial(Distribution):
             )
         return NegativeBinomial(
             n, logits=jnp.broadcast_to(self._logits, batch_shape)
+        )
+
+    @property
+    def logits(self):
+        """Log-odds of success (torch parity)."""
+        return probs_to_logits(self.probs, is_binary=True)
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.clip(
+            jnp.floor((self.total_count - 1) * jnp.exp(self.logits)), 0, None
         )

@@ -222,6 +222,49 @@ class Distribution(metaclass=DistributionMeta):
     def independent(self, reinterpreted_batch_ndims=None):
         return self.to_event(reinterpreted_batch_ndims)
 
+    @property
+    def mode(self):
+        """Mode of the distribution (torch ``Distribution.mode`` parity:
+        concrete families override; the base raises)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement mode"
+        )
+
+    def perplexity(self):
+        """exp(entropy), batched over batch_shape (torch parity)."""
+        import jax.numpy as jnp
+
+        return jnp.exp(self.entropy())
+
+    def reshape(self, sample_shape=None, extra_event_dims=None):
+        # ref torch_distribution.py:156: the old .reshape API was renamed
+        raise Exception(
+            ".reshape(sample_shape=s, extra_event_dims=n) was renamed and "
+            "split into .expand_by(sample_shape=s)"
+            ".to_event(reinterpreted_batch_ndims=n)."
+        )
+
+    @classmethod
+    def infer_shapes(cls, **arg_shapes):
+        """Infer ``(batch_shape, event_shape)`` from the shapes of
+        ``__init__`` args (ref ``torch_distribution.py:94-123``; assumes
+        shape depends only on arg shapes).  Univariate only."""
+        from .util import broadcast_shape
+
+        support = cls.support
+        event_dim = getattr(support, "event_dim", 0)
+        if callable(support) and not hasattr(support, "event_dim"):
+            event_dim = 0
+        if event_dim and event_dim > 0:
+            raise NotImplementedError
+        batch_shapes = []
+        for name, shape in arg_shapes.items():
+            constraint = cls.arg_constraints.get(name, None)
+            arg_event_dim = getattr(constraint, "event_dim", 0) or 0
+            batch_shapes.append(shape[: len(shape) - arg_event_dim])
+        batch_shape = broadcast_shape(*batch_shapes) if batch_shapes else ()
+        return tuple(batch_shape), ()
+
     # -- inference hooks --------------------------------------------------------
     def enumerate_support(self, expand: bool = True):
         raise NotImplementedError(

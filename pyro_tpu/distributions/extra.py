@@ -493,6 +493,12 @@ class SineBivariateVonMises(Distribution):
             correlation=jnp.broadcast_to(self.correlation, batch_shape),
         )
 
+    @property
+    def norm_const(self):
+        """Log normalization constant (ref
+        ``sine_bivariate_von_mises.py:129-145``)."""
+        return self._log_normalizer()
+
 
 def _log_i0(z):
     """log I_0(z), stable for large z via the exponentially-scaled i0e."""
@@ -596,6 +602,30 @@ class MultivariateStudentT(Distribution):
             jnp.broadcast_to(self.df, batch_shape),
             jnp.broadcast_to(self.loc, batch_shape + (p,)),
             jnp.broadcast_to(self.scale_tril, batch_shape + (p, p)),
+        )
+
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape + self.event_shape)
+
+    @property
+    def covariance_matrix(self):
+        """df/(df-2) * L L^T; inf-scaled for df <= 2 (torch parity)."""
+        L = self.scale_tril
+        factor = self.df / (self.df - 2)
+        return factor[..., None, None] * (L @ jnp.swapaxes(L, -1, -2))
+
+    @property
+    def precision_matrix(self):
+        """Inverse of covariance_matrix (torch parity)."""
+        L = self.scale_tril
+        n = L.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        factor = (self.df - 2) / self.df
+        return factor[..., None, None] * (
+            jnp.swapaxes(Linv, -1, -2) @ Linv
         )
 
 
@@ -876,6 +906,34 @@ class AffineBeta(TransformedDistribution):
             jnp.broadcast_to(self.loc_, batch_shape),
             jnp.broadcast_to(self.scale_, batch_shape),
         )
+
+    @property
+    def concentration1(self):
+        return self.base_dist.concentration1
+
+    @property
+    def concentration0(self):
+        return self.base_dist.concentration0
+
+    @property
+    def loc(self):
+        return self.loc_
+
+    @property
+    def scale(self):
+        return self.scale_
+
+    @property
+    def low(self):
+        return self.loc_
+
+    @property
+    def high(self):
+        return self.loc_ + self.scale_
+
+    @property
+    def sample_size(self):
+        return self.concentration1 + self.concentration0
 
 
 class LogNormalNegativeBinomial(Distribution):

@@ -110,6 +110,13 @@ class ContinuousBernoulli(UnivariateMixin, Distribution):
         m = p / (2 * p - 1) + 1 / (2 * jnp.arctanh(1 - 2 * jnp.clip(p, 1e-6, 1 - 1e-6)))
         return jnp.where(jnp.abs(x) < 1e-4, 0.5, m)
 
+    @property
+    def logits(self):
+        """Log-odds (torch parity)."""
+        from .util import probs_to_logits
+
+        return probs_to_logits(self.probs, is_binary=True)
+
 
 class FisherSnedecor(UnivariateMixin, Distribution):
     """F-distribution (torch wrapper parity)."""
@@ -236,6 +243,22 @@ class Wishart(Distribution):
             - df * half_logdet_S
             - mvlgamma
         )
+
+    @property
+    def precision_matrix(self):
+        """Inverse of covariance_matrix (torch parity)."""
+        L = self.scale_tril
+        n = L.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+    @property
+    def mode(self):
+        """Mode (torch parity): (df - p - 1) * Sigma for df > p + 1."""
+        p = self.event_shape[-1]
+        factor = jnp.clip(self.df - p - 1, 0, None)
+        return factor[..., None, None] * self.covariance_matrix
 
 
 class LKJ(TransformedDistribution):

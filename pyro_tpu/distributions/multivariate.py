@@ -151,6 +151,11 @@ class MultivariateNormal(Distribution):
             ),
         )
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return self.loc
+
 
 def _solve_lower_batched(L, diff):
     """Solve L y = diff batched, broadcasting batch dims of L and diff."""
@@ -254,6 +259,26 @@ class LowRankMultivariateNormal(Distribution):
             jnp.broadcast_to(self.cov_diag, batch_shape + (n,)),
         )
 
+    @property
+    def mode(self):
+        """Mode (torch parity)."""
+        return jnp.broadcast_to(self.loc, self.batch_shape + self.event_shape)
+
+    @lazy_property
+    def precision_matrix(self):
+        """Woodbury inverse of W W^T + D (torch parity)."""
+        W = self.cov_factor
+        Dinv = 1.0 / self.cov_diag
+        WtDinv = jnp.swapaxes(W, -1, -2) * Dinv[..., None, :]
+        k = W.shape[-1]
+        cap = jnp.eye(k) + WtDinv @ W
+        Lc = jnp.linalg.cholesky(cap)
+        X = jax.scipy.linalg.solve_triangular(Lc, WtDinv, lower=True)
+        return (
+            jnp.eye(self.event_shape[0]) * Dinv[..., None, :]
+            - jnp.swapaxes(X, -1, -2) @ X
+        )
+
 
 class Dirichlet(Distribution):
     arg_constraints = {
@@ -334,6 +359,12 @@ class Dirichlet(Distribution):
             - _log_normalizer(updated)
         )
         return updated, log_normalizer
+
+    @property
+    def mode(self):
+        """Mode (torch parity): nan where all concentrations <= 1."""
+        conc = jnp.clip(self.concentration - 1, 0, None)
+        return conc / jnp.sum(conc, axis=-1, keepdims=True)
 
 
 class LKJCholesky(Distribution):

@@ -301,6 +301,67 @@ class SpanningTree(Distribution):
         total = jnp.sum(self.edge_logits[k], axis=-1)
         return total - self.log_partition_function
 
+    @property
+    def edge_mean(self):
+        """Marginal probability of each edge being in a sampled tree
+        (ref ``spanning_tree.py:194-215``): effective-resistance times
+        weight, by Kirchhoff's theorem — a symmetric (V, V) matrix."""
+        V = self.num_vertices
+        grid = make_complete_graph(V, backend="python")
+        v1, v2 = grid[0], grid[1]
+        logits = self.edge_logits - jax.lax.stop_gradient(
+            self.edge_logits.max()
+        )
+        w = jnp.zeros((V, V))
+        w = w.at[v1, v2].set(jnp.exp(logits)).at[v2, v1].set(
+            jnp.exp(logits)
+        )
+        laplacian = jnp.diag(w.sum(-1)) - w
+        inv = jnp.linalg.pinv(laplacian + 1.0 / V)
+        resistance = (
+            jnp.diag(inv) + jnp.diag(inv)[..., None] - 2 * inv
+        )
+        return resistance * w
+
+    def validate_edges(self, edges):
+        """Validate a batch of canonically-ordered edge lists (ref
+        ``spanning_tree.py:78-116``): vertex-id ranges, per-edge sorting,
+        colexicographic ordering, and the tree (connectivity) property.
+        Raises ValueError; host-side (uses concrete values)."""
+        import itertools
+
+        import numpy as np
+
+        edges = np.asarray(edges)
+        if edges.shape[-2:] != self.event_shape:
+            raise ValueError(f"Invalid edges shape: {edges.shape}")
+        if not ((0 <= edges) & (edges < self.num_vertices)).all():
+            raise ValueError(f"Invalid vertex ids:\n{edges}")
+        if not (edges[..., 0] < edges[..., 1]).all():
+            raise ValueError(
+                f"Vertices are not sorted in each edge:\n{edges}"
+            )
+        if not (
+            (edges[..., :-1, 1] < edges[..., 1:, 1])
+            | (
+                (edges[..., :-1, 1] == edges[..., 1:, 1])
+                & (edges[..., :-1, 0] < edges[..., 1:, 0])
+            )
+        ).all():
+            raise ValueError(
+                f"Edges are not sorted colexicographically:\n{edges}"
+            )
+        V = self.num_vertices
+        for i in itertools.product(*map(range, edges.shape[:-2])):
+            e = edges[i]
+            connected = np.eye(V)
+            connected[e[:, 0], e[:, 1]] = 1
+            connected[e[:, 1], e[:, 0]] = 1
+            for _ in range(int(math.ceil(V**0.5))):
+                connected = np.clip(connected @ connected, 0, 1)
+            if not connected.min() > 0:
+                raise ValueError(f"Edges do not constitute a tree:\n{e}")
+
     def sample(self, key, sample_shape=()):
         """MCMC-refined sample (host-side sampler; ref ``sample``)."""
         sample_shape = tuple(sample_shape)
