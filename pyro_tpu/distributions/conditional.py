@@ -15,6 +15,7 @@ context-specialized unconditional object, exactly as in the reference.
 
 from __future__ import annotations
 
+from . import constraints
 from .distribution import Distribution, TransformedDistribution
 from .transforms import ComposeTransform, Transform
 
@@ -74,7 +75,32 @@ class ConstantConditionalTransform(ConditionalTransform):
 
 class ConditionalTransformModule(ConditionalTransform):
     """Conditional transform with learnable parameters (ref
-    ``conditional.py:40``); subclasses implement ``condition``."""
+    ``conditional.py:26-43``); subclasses implement ``condition``.
+    Carries the torch-parity surface: domain/codomain/bijective defaults
+    (vector flows) and a lazy ``inv`` view whose ``condition(context)``
+    is the conditioned transform's inverse."""
+
+    domain = constraints.real_vector
+    codomain = constraints.real_vector
+    bijective = True
+
+    @property
+    def inv(self) -> "ConditionalTransformModule":
+        return _ConditionalInverseTransformModule(self)
+
+
+class _ConditionalInverseTransformModule(ConditionalTransformModule):
+    """Ref ``conditional.py:45-55``."""
+
+    def __init__(self, transform: ConditionalTransform):
+        self._transform = transform
+
+    @property
+    def inv(self) -> ConditionalTransform:
+        return self._transform
+
+    def condition(self, context):
+        return self._transform.condition(context).inv
 
 
 class ConditionalComposeTransformModule(ConditionalTransformModule):

@@ -70,6 +70,8 @@ class AffineAutoregressive(Transform):
         _, log_scale = self._params(x)
         return jnp.sum(log_scale, axis=-1)
 
+    autoregressive = True
+
 
 class AffineCoupling(Transform):
     """RealNVP coupling layer (ref ``affine_coupling.py:395``)."""
@@ -337,6 +339,8 @@ class Householder(Transform):
     def log_abs_det_jacobian(self, x, y):
         return jnp.zeros(x.shape[:-1])
 
+    volume_preserving = True
+
 
 class Permute(Transform):
     """Fixed permutation (ref ``permute.py``)."""
@@ -358,6 +362,13 @@ class Permute(Transform):
 
     def log_abs_det_jacobian(self, x, y):
         return jnp.zeros(x.shape[:-1])
+
+    volume_preserving = True
+
+    @property
+    def inv_permutation(self):
+        """Inverse permutation indices (ref permute.py:60)."""
+        return jnp.argsort(self.permutation)
 
 
 class BatchNormTransform(Transform):
@@ -384,6 +395,12 @@ class BatchNormTransform(Transform):
             -jnp.sum(self.log_scale, axis=-1),
             x.shape[:-1],
         )
+
+    @property
+    def constrained_gamma(self):
+        """Positive scale (ref batchnorm.py:96): here the learned
+        log_scale is stored directly, so gamma = exp(-log_scale)."""
+        return jnp.exp(-self.log_scale)
 
 
 # -- factory helpers (ref transforms/__init__.py bottom) ----------------------

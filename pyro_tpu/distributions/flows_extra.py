@@ -323,6 +323,8 @@ class BlockAutoregressive(Transform):
         _, ladj = self._forward_and_ladj(x)
         return ladj
 
+    autoregressive = True
+
 
 # =========================================================================
 # Neural Autoregressive Flow (NAF, "IAF flavour")
@@ -384,6 +386,8 @@ class NeuralAutoregressive(Transform):
     def log_abs_det_jacobian(self, x, y):
         _, ladj = self._forward_and_ladj(x)
         return ladj
+
+    autoregressive = True
 
 
 class ConditionalNeuralAutoregressive(ConditionalTransformModule):
@@ -472,6 +476,8 @@ class Polynomial(Transform):
     def log_abs_det_jacobian(self, x, y):
         _, ladj = self._forward_and_ladj(x)
         return ladj
+
+    autoregressive = True
 
 
 # =========================================================================
@@ -744,6 +750,8 @@ class SplineAutoregressive(Transform):
 
     def log_abs_det_jacobian(self, x, y):
         return self._spline(x).log_abs_det_jacobian(x, y)
+
+    autoregressive = True
 
 
 class ConditionalSpline(ConditionalTransformModule):

@@ -38,6 +38,24 @@ class Transform:
             self._inv = weakref.ref(inv)
         return inv
 
+    @property
+    def event_dim(self) -> int:
+        """Deprecated torch alias: the shared domain/codomain event dim."""
+        if self.domain.event_dim == self.codomain.event_dim:
+            return self.domain.event_dim
+        raise ValueError(
+            "Please use either .domain.event_dim or .codomain.event_dim"
+        )
+
+    def clear_cache(self):
+        """Drop any memoized (x, y) pairs (torch parity).  Only
+        ``with_cache`` views hold state; plain transforms are a no-op.
+        Recurses into composed parts."""
+        for part in getattr(self, "parts", []) or getattr(
+            self, "transforms", []
+        ):
+            part.clear_cache()
+
     def __call__(self, x):
         raise NotImplementedError
 
@@ -103,6 +121,10 @@ class _CachedTransform(Transform):
     @property
     def sign(self):  # type: ignore[override]
         return self._base.sign
+
+    def clear_cache(self):
+        self._cached_x_y = None
+        self._base.clear_cache()
 
     def __call__(self, x):
         cached = self._cached_x_y

@@ -224,6 +224,8 @@ class LowerCholeskyAffine(Transform):
         )
         return jnp.broadcast_to(ladj, x.shape[:-1])
 
+    volume_preserving = False
+
 
 class Normalize(Transform):
     """Safely project onto the unit sphere (ref ``normalize.py:13``);
@@ -504,6 +506,11 @@ class CatTransform(Transform):
                 else jnp.broadcast_to(term, x[s].shape)
             )
         return jnp.concatenate(expanded, axis=self.dim)
+
+    @property
+    def length(self):
+        """Total length of the concatenated slices (torch parity)."""
+        return sum(self.lengths)
 
 
 class StackTransform(Transform):

@@ -244,3 +244,71 @@ def test_affine_beta_properties():
     assert float(d.low) == -1.0 and float(d.high) == 3.0
     assert float(d.concentration1) == 2.0
     assert float(d.sample_size) == 5.0
+
+
+# ---------------------------------------------------------------------------
+# transform surface (event_dim / clear_cache / flags / conditional inv)
+
+
+def test_transform_event_dim_and_clear_cache():
+    import pyro_tpu.distributions.transforms as T
+
+    assert T.ExpTransform().event_dim == 0
+    assert T.StickBreakingTransform().domain.event_dim == 1
+    c = T.AffineTransform(0.0, 2.0).with_cache()
+    x = jnp.ones(3)
+    c(x)
+    assert c._cached_x_y is not None
+    c.clear_cache()
+    assert c._cached_x_y is None
+    # composed transforms recurse without error
+    T.ComposeTransform([T.ExpTransform(), T.TanhTransform()]).clear_cache()
+
+
+def test_transform_flags_match_reference():
+    import pyro_tpu.distributions.transforms as T
+
+    assert T.Permute(jnp.array([1, 0])).volume_preserving is True
+    assert T.Householder.volume_preserving is True
+    assert T.LowerCholeskyAffine.volume_preserving is False
+    for cls in [
+        T.AffineAutoregressive,
+        T.BlockAutoregressive,
+        T.NeuralAutoregressive,
+        T.Polynomial,
+        T.SplineAutoregressive,
+    ]:
+        assert cls.autoregressive is True, cls
+
+
+def test_permute_inv_permutation():
+    import pyro_tpu.distributions.transforms as T
+
+    p = T.Permute(jnp.array([2, 0, 1]))
+    np.testing.assert_array_equal(np.asarray(p.inv_permutation), [1, 2, 0])
+    x = jnp.arange(3.0)
+    np.testing.assert_allclose(np.asarray(p._inverse(p(x))), np.asarray(x))
+
+
+def test_conditional_transform_module_inv():
+    import pyro_tpu.distributions.transforms as T
+    from pyro_tpu.distributions.conditional import ConditionalTransformModule
+
+    class Shift(ConditionalTransformModule):
+        def condition(self, context):
+            return T.AffineTransform(context, 1.0)
+
+    m = Shift()
+    assert m.bijective and m.domain.event_dim == 1
+    assert m.inv.inv is m
+    shifted = m.inv.condition(jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(shifted(jnp.full(2, 3.0))), 2.0)
+
+
+def test_cat_transform_length():
+    import pyro_tpu.distributions.transforms as T
+
+    ct = T.CatTransform(
+        [T.ExpTransform(), T.ExpTransform()], dim=-1, lengths=[2, 3]
+    )
+    assert ct.length == 5
