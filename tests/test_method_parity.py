@@ -22,7 +22,11 @@ import pyro_tpu.distributions as dist
 torch = pytest.importorskip("torch")
 import torch.distributions as td  # noqa: E402
 
-sys.path.insert(0, "/root/reference")
+# APPEND (never insert(0)): the reference tree also contains top-level
+# `examples/` and `tests/` packages; prepending would shadow this repo's
+# same-named packages for every later test in the same pytest process.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 
 def t(x):
