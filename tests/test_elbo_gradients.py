@@ -308,6 +308,149 @@ def test_plate_elbo_vectorized_particles(Elbo, reparameterized):
 
 
 @pytest.mark.parametrize(
+    "reparameterized,has_rsample",
+    [(True, None), (True, False), (True, True), (False, None)],
+    ids=["reparam", "reparam-False", "reparam-True", "nonreparam"],
+)
+@pytest.mark.parametrize(
+    "Elbo", [Trace_ELBO, TraceEnum_ELBO], ids=lambda c: c.__name__
+)
+def test_particle_gradient_force_rsample(Elbo, reparameterized, has_rsample):
+    """The ``has_rsample_()`` instance override flips the estimator
+    (ref ``test_gradient.py:38-146``): forcing ``False`` on a
+    reparameterized Normal must give the score-function gradient
+    pointwise; TraceEnum_ELBO's Dice factor adds the exact ``-dlogq``
+    entropy term that Trace_ELBO leaves to expectation."""
+    Normal = dist.Normal if reparameterized else fakes.NonreparameterizedNormal
+
+    def model():
+        with pyro.plate("data", len(DATA)):
+            z = pyro.sample("z", Normal(0.0, 1.0))
+            pyro.sample("x", Normal(z, 1.0), obs=DATA)
+
+    def guide():
+        scale = pyro.param("scale", jnp.ones(1))
+        with pyro.plate("data", len(DATA)):
+            loc = pyro.param("loc", jnp.zeros(len(DATA)), event_dim=0)
+            z_dist = Normal(loc, scale)
+            if has_rsample is not None:
+                z_dist.has_rsample_(has_rsample)
+            pyro.sample("z", z_dist)
+
+    elbo = Elbo(num_particles=1, max_plate_nesting=1)
+    grads, model_tr, guide_tr, params = _grads_and_traces(
+        elbo, model, guide, jax.random.key(0)
+    )
+
+    x = np.asarray(DATA)
+    z = np.asarray(guide_tr.nodes["z"]["value"])
+    loc = np.asarray(params["loc"])
+    scale = np.asarray(params["scale"])
+
+    if reparameterized and has_rsample is not False:
+        # pathwise estimator (ref test_gradient.py:96-102)
+        expected = {
+            "scale": -(
+                (-z * (z - loc) + (x - z) * (z - loc) + 1).sum(keepdims=True)
+                / scale
+            ),
+            "loc": -(-z + (x - z)),
+        }
+    else:
+        # score-function estimator (ref test_gradient.py:104-127)
+        elbo_terms = (
+            np.asarray(model_tr.nodes["x"]["log_prob"])
+            + np.asarray(model_tr.nodes["z"]["log_prob"])
+            - np.asarray(guide_tr.nodes["z"]["log_prob"])
+        )
+        dlogq_dloc = (z - loc) / scale**2
+        dlogq_dscale = (z - loc) ** 2 / scale**3 - 1 / scale
+        if Elbo is TraceEnum_ELBO:
+            expected = {
+                "scale": -(dlogq_dscale * elbo_terms - dlogq_dscale).sum(
+                    keepdims=True
+                ),
+                "loc": -(dlogq_dloc * elbo_terms - dlogq_dloc),
+            }
+        else:
+            expected = {
+                "scale": -(dlogq_dscale * elbo_terms).sum(keepdims=True),
+                "loc": -(dlogq_dloc * elbo_terms),
+            }
+
+    for name in sorted(expected):
+        np.testing.assert_allclose(
+            np.asarray(grads[name]),
+            expected[name],
+            atol=1e-4,
+            err_msg=f"{Elbo.__name__} {name}",
+        )
+
+
+@pytest.mark.parametrize("subsample", [False, True], ids=["full", "subsample"])
+@pytest.mark.parametrize(
+    "reparameterized", [True, False], ids=["reparam", "nonreparam"]
+)
+@pytest.mark.parametrize(
+    "Elbo", [Trace_ELBO, TraceGraph_ELBO], ids=lambda c: c.__name__
+)
+def test_subsample_gradient_sequential(Elbo, reparameterized, subsample):
+    """Sequential (non-vectorized) particles with FRESH random subsample
+    indices per estimate stay unbiased (ref ``test_gradient.py:354-392``):
+    the mean gradient over many sequential 10-particle estimates matches
+    the analytic full-data gradient."""
+    Normal = dist.Normal if reparameterized else fakes.NonreparameterizedNormal
+    subsample_size = 1 if subsample else len(DATA)
+
+    def model():
+        with pyro.plate("data", len(DATA), subsample_size) as ind:
+            x = DATA[ind]
+            z = pyro.sample("z", Normal(0.0, 1.0).expand_by(x.shape))
+            pyro.sample("x", Normal(z, 1.0), obs=x)
+
+    def guide():
+        loc = pyro.param("loc", jnp.zeros(len(DATA)))
+        scale = pyro.param("scale", jnp.ones(1))
+        with pyro.plate("data", len(DATA), subsample_size) as ind:
+            pyro.sample("z", Normal(loc[ind], scale))
+
+    pyro.clear_param_store()
+    elbo = Elbo(
+        num_particles=10, max_plate_nesting=1, vectorize_particles=False
+    )
+    elbo.loss(model, guide, rng_key=jax.random.key(99))  # materialize params
+    store = pyro.get_param_store()
+    params = store.get_all_unconstrained()
+
+    def loss_fn(p, k):
+        with ParamsMessenger(p, store):
+            return elbo.differentiable_loss(model, guide, rng_key=k)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    # 5000 particles matches the reference; the score-function +
+    # subsample combination needs more for the same precision
+    iters = 2000 if (subsample and not reparameterized) else 500
+    keys = jax.random.split(jax.random.key(1), iters)
+
+    def body(acc, k):
+        g = grad_fn(params, k)
+        return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    acc, _ = jax.lax.scan(body, zero, keys)
+    actual = {k: np.asarray(v) / iters for k, v in acc.items()}
+
+    expected = {"loc": np.array([0.5, -2.0]), "scale": np.array([2.0])}
+    for name in sorted(expected):
+        np.testing.assert_allclose(
+            actual[name],
+            expected[name],
+            atol=0.333,  # the reference's statistical precision
+            err_msg=f"{Elbo.__name__} {name}",
+        )
+
+
+@pytest.mark.parametrize(
     "reparameterized", [True, False], ids=["reparam", "nonreparam"]
 )
 def test_scaled_gradient(reparameterized):
