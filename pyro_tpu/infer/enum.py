@@ -135,3 +135,33 @@ def config_enumerate(guide=None, default: str = "parallel", expand: bool = False
         return cfg
 
     return poutine.infer_config(guide, config_fn=config_fn)
+
+
+def iter_discrete_escape(trace, msg) -> bool:
+    """Escape predicate for SEQUENTIAL enumeration (ref ``enum.py:16-22``):
+    interrupt execution at the first sequentially-enumerated sample site
+    that the partial trace has not yet fixed."""
+    return (
+        msg["type"] == "sample"
+        and not msg["is_observed"]
+        and msg["infer"].get("enumerate") == "sequential"
+        and msg["name"] not in trace
+    )
+
+
+def iter_discrete_extend(trace, site):
+    """Extend a partial trace with every support value of an escaped
+    sequential site, recording ``_enum_total`` so the Dice weighting can
+    correct for branch multiplicity (ref ``enum.py:25-42``)."""
+    values = site["fn"].enumerate_support(expand=False)
+    enum_total = int(values.shape[0])
+    extended = []
+    for i in range(enum_total):
+        ext_site = dict(site)
+        ext_site["infer"] = dict(site["infer"])
+        ext_site["infer"]["_enum_total"] = enum_total
+        ext_site["value"] = values[i]
+        tr = trace.copy()
+        tr.add_node(site["name"], **ext_site)
+        extended.append(tr)
+    return extended

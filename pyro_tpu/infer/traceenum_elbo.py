@@ -187,19 +187,61 @@ def _compute_dice_elbo(model_trace, guide_trace):
     return Dice(guide_trace, ordering).compute_expectation(costs)
 
 
+class _SequentialEscape(Exception):
+    """Internal: a sequentially-enumerated site interrupted the guide;
+    carries the partial trace (sites executed so far) and the escaped
+    site message for queue extension."""
+
+    def __init__(self, partial_trace, site):
+        super().__init__(site.get("name"))
+        self.partial_trace = partial_trace
+        self.site = site
+
+
 class TraceEnum_ELBO(ELBO):
     """Ref ``traceenum_elbo.py:316``."""
 
-    def _get_trace_pair(self, model, guide, args, kwargs, rng_key):
-        """Run guide then replayed model, both under enumeration."""
+    def _get_trace_pair(
+        self, model, guide, args, kwargs, rng_key, queue_trace=None
+    ):
+        """Run guide then replayed model, both under enumeration.
+
+        With ``queue_trace`` (a partial trace fixing some sequentially-
+        enumerated sites), the guide is replayed against it under an
+        escape handler; hitting an unfixed sequential site raises
+        ``_SequentialEscape`` carrying the partial trace for extension
+        (ref ``traceenum_elbo.py:386-394`` queue-driven ``_get_traces``).
+        """
+        import functools
+
         import jax as _jax
+
+        from ..poutine.handlers import EscapeMessenger
+        from ..poutine.runtime import NonlocalExit
+        from .enum import iter_discrete_escape
 
         key_guide, key_model = _jax.random.split(rng_key)
         first_dim = -1 - int(self.max_plate_nesting)
-        guide_enum = EnumMessenger(first_available_dim=first_dim)(
-            poutine.seed(guide, rng_key=key_guide)
+        guide_fn = poutine.seed(guide, rng_key=key_guide)
+        if queue_trace is not None:
+            guide_fn = EscapeMessenger(
+                functools.partial(iter_discrete_escape, queue_trace)
+            )(poutine.replay(guide_fn, trace=queue_trace))
+        tracer = poutine.trace(
+            EnumMessenger(first_available_dim=first_dim)(guide_fn)
         )
-        guide_trace = poutine.trace(guide_enum).get_trace(*args, **kwargs)
+        try:
+            guide_trace = tracer.get_trace(*args, **kwargs)
+        except NonlocalExit as escape:
+            escape.reset_stack()
+            raise _SequentialEscape(
+                tracer.msngr.get_trace(), escape.site
+            ) from None
+        return self._finish_trace_pair(
+            model, guide_trace, args, kwargs, key_model
+        )
+
+    def _finish_trace_pair(self, model, guide_trace, args, kwargs, key_model):
         # the EnumMessenger must be INNERMOST (ref ``traceenum_elbo.py:
         # 383-385``: ``model = model_enum(model)`` wrapped by replay): it
         # has to process each site before replay marks it done, so that
@@ -228,8 +270,11 @@ class TraceEnum_ELBO(ELBO):
         from .util import is_validation_enabled
 
         if is_validation_enabled():
-            from ..util import check_site_shape
+            from ..util import check_model_guide_match, check_site_shape
 
+            check_model_guide_match(
+                model_trace, guide_trace, int(self.max_plate_nesting)
+            )
             for tr in (model_trace, guide_trace):
                 for site in tr.nodes.values():
                     if site["type"] == "sample":
@@ -260,12 +305,37 @@ class TraceEnum_ELBO(ELBO):
             keys = [rng_key]
         elbo = 0.0
         for key in keys:
-            model_trace, guide_trace = self._get_trace_pair(
+            for model_trace, guide_trace in self._iter_trace_pairs(
                 model, guide, args, kwargs, key
-            )
-            elbo_particle = _compute_dice_elbo(model_trace, guide_trace)
-            elbo = elbo + elbo_particle / self.num_particles
+            ):
+                elbo_particle = _compute_dice_elbo(model_trace, guide_trace)
+                elbo = elbo + elbo_particle / self.num_particles
         return -elbo
+
+    def _iter_trace_pairs(self, model, guide, args, kwargs, rng_key):
+        """Yield one (model, guide) trace pair per combination of
+        sequentially-enumerated guide values — the LIFO-queue expansion
+        of the reference's ``_get_traces`` (ref ``traceenum_elbo.py:
+        386-394``).  Models/guides with no sequential sites yield exactly
+        one pair with zero queue overhead."""
+        from queue import LifoQueue
+
+        from ..poutine.trace_struct import Trace
+        from .enum import iter_discrete_extend
+
+        q = LifoQueue()
+        q.put(Trace())
+        while not q.empty():
+            partial = q.get()
+            try:
+                yield self._get_trace_pair(
+                    model, guide, args, kwargs, rng_key, queue_trace=partial
+                )
+            except _SequentialEscape as escape:
+                for extended in iter_discrete_extend(
+                    escape.partial_trace, escape.site
+                ):
+                    q.put(extended)
 
     loss_and_grads = differentiable_loss
 

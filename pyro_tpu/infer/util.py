@@ -93,19 +93,27 @@ def compute_site_dice_factor(site):
     if site["infer"].get("enumerate"):
         num_samples = site["infer"].get("num_samples")
         if num_samples is not None:  # TMC sampled enumeration
+            # fold -log(num_samples) into the dice weight itself (NOT
+            # log_denom): the weight rides downstream costs through the
+            # contraction, so the enum-sample dim gets AVERAGED there;
+            # log_denom only corrects non-downstream double counting
+            # (ref ``infer/util.py:180-188``; caught by
+            # test_non_mean_field_bern_normal_elbo_gradient[parallel-2]
+            # reporting exactly 2x gradients at num_samples=2).
             log_prob = site["packed"]["log_prob"]
             if not is_identically_zero(score_function):
                 log_prob = PackedTensor(
                     score_function.value
-                    - jax.lax.stop_gradient(score_function.value),
+                    - jax.lax.stop_gradient(score_function.value)
+                    - math.log(num_samples),
                     score_function.dims,
                 )
             else:
                 log_prob = PackedTensor(
-                    jnp.zeros_like(log_prob.value), log_prob.dims
+                    jnp.full_like(log_prob.value, -math.log(num_samples)),
+                    log_prob.dims,
                 )
-            log_denom = math.log(num_samples)
-            return log_prob, log_denom
+            return log_prob, 0.0
         elif site["infer"]["enumerate"] == "sequential":
             log_denom = math.log(
                 site["infer"].get("_enum_total", 1)

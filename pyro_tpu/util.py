@@ -103,6 +103,19 @@ def check_model_guide_match(model_trace, guide_trace, max_plate_nesting=None):
     bad = observed & guide_sites
     if bad:
         warnings.warn(f"Found observed sites in guide: {bad}")
+    # 2b. model-only latents must not request sequential enumeration —
+    # only the guide is queue-expanded (ref ``pyro/util.py:371-380``)
+    for name in model_sites - guide_sites - observed:
+        site = model_trace.nodes[name]
+        if (
+            site["infer"].get("enumerate") == "sequential"
+            and site["infer"].get("_enumerate_dim") is None
+        ):
+            raise NotImplementedError(
+                f"At site {name!r}, model-side sequential enumeration "
+                "is not implemented. Try parallel enumeration or "
+                "guide-side enumeration."
+            )
     # 3. shape agreement
     for name in model_sites & guide_sites:
         model_site = model_trace.nodes[name]
