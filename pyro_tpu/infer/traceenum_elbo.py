@@ -222,14 +222,20 @@ class TraceEnum_ELBO(ELBO):
 
         key_guide, key_model = _jax.random.split(rng_key)
         first_dim = -1 - int(self.max_plate_nesting)
-        guide_fn = poutine.seed(guide, rng_key=key_guide)
+        # The EnumMessenger must be INNERMOST (process each site first):
+        # queue branches replay parallel-enumerated sites recorded by the
+        # escaped run, and the allocator must walk the SAME allocation
+        # order on every branch — replay merely overwrites the (identical)
+        # values afterwards (ref ``traceenum_elbo.py:383-391`` where
+        # ``guide_enum(guide)`` is wrapped by ``poutine.queue``).
+        guide_fn = EnumMessenger(first_available_dim=first_dim)(
+            poutine.seed(guide, rng_key=key_guide)
+        )
         if queue_trace is not None:
             guide_fn = EscapeMessenger(
                 functools.partial(iter_discrete_escape, queue_trace)
             )(poutine.replay(guide_fn, trace=queue_trace))
-        tracer = poutine.trace(
-            EnumMessenger(first_available_dim=first_dim)(guide_fn)
-        )
+        tracer = poutine.trace(guide_fn)
         try:
             guide_trace = tracer.get_trace(*args, **kwargs)
         except NonlocalExit as escape:
